@@ -1,0 +1,146 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (reference: main.cpp:127-156) so the
+README examples run unchanged:
+
+    kaarme_tpu INPUT KLEN [-m MODE] [-a MINABU] [-t THREADS] [-o OUT]
+               (-s SLOTS | -u UNIQUE) [-b] [-f FPR]
+
+- INPUT: fasta / plain one-string-per-line, optionally gzipped (sniffed);
+- -s / -u are mutually exclusive and one is required;
+- -b (Bloom prefilter that discards unique k-mers) requires -u, -f
+  requires -b (reference: main.cpp:144-151);
+- default output: <input stem>.kaarme_counts (reference: main.cpp:189-191);
+- -t is accepted for compatibility; it sizes the host prefetch depth
+  (device parallelism replaces worker threads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kaarme_tpu", description="Space-efficient k-mer counter (TPU-native)"
+    )
+    p.add_argument("INPUT", help="Input file (automatic format detection)")
+    p.add_argument("KLEN", type=int, help="k-mer length")
+    p.add_argument("-m", "--hash-table-type", type=int, default=2, choices=(0, 1, 2),
+                   help="Hash table type: 0 for plain and 2 for kaarme (def. 2)")
+    p.add_argument("-a", "--min-k-abu", type=int, default=2,
+                   help="Minimum abundance threshold for the output k-mers (def. 2)")
+    p.add_argument("-t", "--threads", type=int, default=3,
+                   help="Number of working threads (def. 3; sizes host prefetch)")
+    p.add_argument("-o", "--output-file", default="",
+                   help="Output file where the k-mer counts will be stored")
+    p.add_argument("-b", "--use-bfilter", action="store_true",
+                   help="Use bloom filters to discard unique k-mers")
+    p.add_argument("-f", "--bfilter-fpr", type=float, default=0.01,
+                   help="Bloom filter false positive rate (def. 0.01)")
+    p.add_argument("-s", "--hash-tab-size", type=int, default=None, help="Hash table size")
+    p.add_argument("-u", "--unq-kmers", type=int, default=None,
+                   help="Estimated number of unique k-mers")
+    p.add_argument("--devices", type=int, default=0,
+                   help="Shard the table over this many devices (0 = single device)")
+    p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
+    return p
+
+
+def validate(args) -> str:
+    if args.KLEN < 2:
+        return "KLEN must be >= 2"
+    if (args.hash_tab_size is None) == (args.unq_kmers is None):
+        return "exactly one of -s/--hash-tab-size or -u/--unq-kmers is required"
+    if args.use_bfilter and args.unq_kmers is None:
+        return "-b/--use-bfilter requires -u/--unq-kmers"
+    if args.unq_kmers is not None and not args.use_bfilter:
+        return "-u/--unq-kmers requires -b/--use-bfilter"
+    if not (3 <= args.threads <= 64):
+        return "-t/--threads must be in [3, 64]"
+    if not (0.001 <= args.bfilter_fpr <= 0.999):
+        return "-f/--bfilter-fpr must be in [0.001, 0.999]"
+    if not os.path.isfile(args.INPUT):
+        return f"input file {args.INPUT} does not exist"
+    return ""
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    err = validate(args)
+    if err:
+        print(f"error: {err}", file=sys.stderr)
+        return 1
+
+    # imports deferred so `--help` stays fast
+    from .io.reader import FormatError, sniff_format
+    from .models.counter import CounterConfig, KmerCounter
+
+    try:
+        fmt, gz = sniff_format(args.INPUT)
+    except (FormatError, OSError) as e:
+        print(f"Input file {args.INPUT} is ill-formed: {e}", file=sys.stderr)
+        return 1
+    if fmt == "fastq":
+        print("FASTQ input is not supported", file=sys.stderr)
+        return 1
+
+    out = args.output_file
+    if not out:
+        stem = os.path.splitext(os.path.basename(args.INPUT))[0]
+        out = stem + ".kaarme_counts"
+
+    if not args.quiet:
+        print("Running settings:")
+        print(f"  input file:               {os.path.basename(args.INPUT)}")
+        print(f"  input format:             {'FASTA' if fmt == 'fasta' else 'ONE-STR-PER-LINE'}")
+        print(f"  gzip compressed:          {'yes' if gz else 'no'}")
+        print(f"  k-mer length:             {args.KLEN}")
+        print(f"  min. abundance threshold: {args.min_k_abu}")
+        print(f"  hash table type:          {'plain' if args.hash_table_type == 0 else 'kaarme'}")
+        print(f"  using bloom filters:      {'yes' if args.use_bfilter else 'no'}")
+        if args.use_bfilter:
+            print(f"    est. unique k-mers:     {args.unq_kmers}")
+            print(f"    false positive rate:    {args.bfilter_fpr}")
+        else:
+            print(f"    est. hash table size:   {args.hash_tab_size}")
+        print(f"  output file:              {out}")
+
+    t0 = time.perf_counter()
+    if args.use_bfilter:
+        from .models.bloom_counter import BloomCounterConfig, bloom_count_file
+
+        cfg = BloomCounterConfig(
+            k=args.KLEN,
+            expected_unique=args.unq_kmers,
+            fpr=args.bfilter_fpr,
+            mode=args.hash_table_type,
+            min_abundance=args.min_k_abu,
+        )
+        counter = bloom_count_file(cfg, args.INPUT, prefetch=max(1, args.threads - 2))
+    else:
+        cfg = CounterConfig(
+            k=args.KLEN,
+            min_slots=args.hash_tab_size,
+            mode=args.hash_table_type,
+            min_abundance=args.min_k_abu,
+        )
+        counter = KmerCounter(cfg)
+        counter.count_file(args.INPUT, prefetch=max(1, args.threads - 2))
+    build_s = time.perf_counter() - t0
+
+    n = counter.write_output(out)
+    used, cap = counter.occupancy()
+    if not args.quiet:
+        print(f"Time used for hash table construction: {build_s * 1e6:.0f} microseconds")
+        print(f"Time used for writing k-mers: {counter.stats['write_seconds'] * 1e6:.0f} microseconds")
+        print(f"Hash table slots in use: {used}/{cap}")
+        print(f"K-mers written: {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

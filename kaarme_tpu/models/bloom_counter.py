@@ -1,0 +1,159 @@
+"""Two-pass Bloom-prefiltered counting pipeline.
+
+Rebuild of the reference's `-b` mode (reference: main.cpp:395-510):
+
+pass 1  stream the whole input, push every canonical k-mer's 64-bit root
+        hash through the two-stage Bloom filter (BF1 = seen once,
+        BF2 = seen twice);
+sizing  table min_slots = 2 * new_in_second (reference: main.cpp:454);
+squeeze BF1 is dropped, halving filter memory before counting
+        (reference: include/mybitarray.hpp:127-162);
+pass 2  stream the input again and count only k-mers whose bits are all
+        set in BF2 (reference: include/parallel_parser.hpp:2436-2454) —
+        singletons never enter the table.
+
+The root hash here is a 64-bit mix of the packed canonical words (two
+independent 32-bit mixes) instead of the reference's 2^54 rolling
+polynomial (reference: main.cpp:433-435): windows are materialized in
+parallel on the device, so rolling state buys nothing and the stronger
+mix feeds double hashing directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io import reader as io_reader
+from ..ops import bloom as bloom_ops
+from ..ops import table as table_ops
+from ..ops.hashing import hash_words64
+from ..ops.windows import windows_with_hash
+from ..utils.mathutils import bloom_sizing
+from .counter import CounterConfig, KmerCounter
+from .tiling import TileBatcher
+
+
+@dataclasses.dataclass
+class BloomCounterConfig:
+    k: int
+    expected_unique: int
+    fpr: float = 0.01
+    mode: int = 2
+    min_abundance: int = 2
+    tile: int = 1 << 14
+    batch_tiles: int = 64
+    max_probes: int = 64
+
+
+@partial(jax.jit, static_argnames=("k", "hfn"), donate_argnums=(0, 1))
+def _bloom_pass1_step(bf1, bf2, tiles, k: int, hfn: int):
+    keys, valid, _ = windows_with_hash(tiles, k)
+    r1, r2 = hash_words64(keys)
+    return bloom_ops.insert_batch(bf1, bf2, r1, r2, valid, hfn)
+
+
+@partial(jax.jit, static_argnames=("k", "hfn", "max_probes"))
+def _bloom_count_step(tkeys, counts, bf2, tiles, k: int, hfn: int, max_probes: int):
+    keys, valid, h = windows_with_hash(tiles, k)
+    r1, r2 = hash_words64(keys)
+    in2 = bloom_ops.contains(bf2, r1, r2, hfn)
+    valid = valid & in2
+    tkeys, counts, pending = table_ops.insert(
+        tkeys, counts, keys, valid, h, max_probes=max_probes
+    )
+    return tkeys, counts, jnp.sum(pending.astype(jnp.int32)), pending
+
+
+class BloomFilteredCounter(KmerCounter):
+    """Pass-2 counter: windows must hit BF2 to be counted."""
+
+    def __init__(self, config: CounterConfig, bf2, hfn: int):
+        super().__init__(config)
+        self.bf2 = bf2
+        self.hfn = hfn
+
+    def _count_step(self, tiles):
+        return _bloom_count_step(
+            self.tkeys, self.counts, self.bf2, tiles,
+            self.cfg.k, self.hfn, self.cfg.max_probes,
+        )
+
+
+def bloom_pass1(cfg: BloomCounterConfig, chunks):
+    """Stream chunks through the Bloom filter; returns (bf2, hfn, stats)."""
+    bits, hfn = bloom_sizing(cfg.expected_unique, cfg.fpr)
+    bits = max(bits, 1 << 10)
+    bf1 = bloom_ops.make_bloom(bits)
+    bf2 = bloom_ops.make_bloom(bits)
+    new1 = 0
+    new2 = 0
+    t0 = time.perf_counter()
+    batcher = TileBatcher(cfg.k, cfg.tile, cfg.batch_tiles)
+
+    def run(tiles):
+        nonlocal bf1, bf2, new1, new2
+        bf1, bf2, n1, n2 = _bloom_pass1_step(bf1, bf2, jnp.asarray(tiles), cfg.k, hfn)
+        new1 += int(n1)
+        new2 += int(n2)
+
+    for codes in chunks:
+        for tiles in batcher.add(codes):
+            run(tiles)
+    for tiles in batcher.finish():
+        run(tiles)
+
+    stats = {
+        "bloom_bits": bits,
+        "bloom_hash_functions": hfn,
+        "new_in_first": new1,
+        "new_in_second": new2,
+        "bloom_pass_seconds": time.perf_counter() - t0,
+    }
+    # squeeze: BF1 is no longer needed once sizing is known.
+    del bf1
+    return bf2, hfn, stats
+
+
+def bloom_count_file(cfg: BloomCounterConfig, path: str,
+                     chunk_bytes: int = io_reader.DEFAULT_CHUNK_BYTES,
+                     prefetch: int = 4) -> BloomFilteredCounter:
+    def stream():
+        chunks = io_reader.CodeChunkReader(path, chunk_bytes=chunk_bytes)
+        if prefetch:
+            chunks = io_reader.PrefetchingReader(chunks, depth=prefetch)
+        return chunks
+
+    bf2, hfn, stats = bloom_pass1(cfg, stream())
+    min_slots = max(1 << 10, 2 * stats["new_in_second"])
+    ccfg = CounterConfig(
+        k=cfg.k, min_slots=min_slots, mode=cfg.mode,
+        min_abundance=cfg.min_abundance, tile=cfg.tile,
+        batch_tiles=cfg.batch_tiles, max_probes=cfg.max_probes,
+    )
+    counter = BloomFilteredCounter(ccfg, bf2, hfn)
+    counter.stats.update(stats)
+    for codes in stream():
+        counter.add_codes(codes)
+    counter.finish()
+    return counter
+
+
+def bloom_count_codes(cfg: BloomCounterConfig, codes: np.ndarray) -> BloomFilteredCounter:
+    """In-memory two-pass variant (tests, library use)."""
+    bf2, hfn, stats = bloom_pass1(cfg, [np.asarray(codes, np.uint8)])
+    min_slots = max(1 << 10, 2 * stats["new_in_second"])
+    ccfg = CounterConfig(
+        k=cfg.k, min_slots=min_slots, mode=cfg.mode,
+        min_abundance=cfg.min_abundance, tile=cfg.tile,
+        batch_tiles=cfg.batch_tiles, max_probes=cfg.max_probes,
+    )
+    counter = BloomFilteredCounter(ccfg, bf2, hfn)
+    counter.stats.update(stats)
+    counter.count_codes(codes)
+    return counter

@@ -57,3 +57,29 @@ def hash_words(words, seed: int = 0x9747B28C):
 def hash_words64(words, seed_lo: int = 0x9747B28C, seed_hi: int = 0x5BD1E995):
     """Two independent 32-bit hashes (used as a 64-bit Bloom root hash)."""
     return hash_words(words, seed_lo), hash_words(words, seed_hi)
+
+
+def hash_words_np(words, seed: int = 0x9747B28C):
+    """NumPy mirror of ``hash_words`` (host-side query routing must agree
+    bit-for-bit with the device hash)."""
+    import numpy as np
+
+    def rotl(x, r):
+        return ((x << np.uint32(r)) | (x >> np.uint32(32 - r))).astype(np.uint32)
+
+    with np.errstate(over="ignore"):
+        h = np.full(np.asarray(words[0]).shape, seed, np.uint32)
+        for w in words:
+            kx = np.asarray(w, np.uint32) * np.uint32(0xCC9E2D51)
+            kx = rotl(kx, 15)
+            kx = kx * np.uint32(0x1B873593)
+            h = h ^ kx
+            h = rotl(h, 13)
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(4 * len(words))
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+    return h

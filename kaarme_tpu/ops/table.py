@@ -108,7 +108,9 @@ def insert(tkeys, counts, keys, valid, h, amount=None, max_probes: int = 64):
     state = (
         jnp.int32(0),
         valid,
-        jnp.zeros((n,), jnp.int32),
+        # derive from a varying input so the carry type is stable under
+        # shard_map (a constant init would be unvarying on axis 'd')
+        jnp.zeros_like(h, jnp.int32),
         tkeys,
         counts,
     )
@@ -147,9 +149,9 @@ def lookup(tkeys, counts, keys, h, max_probes: int = 64):
 
     state = (
         jnp.int32(0),
-        jnp.ones((n,), jnp.bool_),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n,), jnp.int32),
+        jnp.ones_like(h, jnp.bool_),
+        jnp.zeros_like(h, jnp.int32),
+        jnp.zeros_like(h, jnp.int32),
     )
     _, _, _, out = jax.lax.while_loop(cond, body, state)
     return out
@@ -163,10 +165,12 @@ def count_step(tkeys, counts, tiles, k: int, max_probes: int = 64):
     (the host reader replicates the reference's chunk-overlap backseek,
     reference: include/text_reader.h:206-213).
 
-    Returns (tkeys, counts, n_overflow).
+    Returns (tkeys, counts, n_overflow, pending) — pending is the exact
+    per-window unresolved mask so a grow-and-retry only re-inserts what
+    did not land.
     """
     from .windows import windows_with_hash
 
     keys, valid, h = windows_with_hash(tiles, k)
     tkeys, counts, pending = insert(tkeys, counts, keys, valid, h, max_probes=max_probes)
-    return tkeys, counts, jnp.sum(pending.astype(jnp.int32))
+    return tkeys, counts, jnp.sum(pending.astype(jnp.int32)), pending

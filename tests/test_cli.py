@@ -1,0 +1,54 @@
+import numpy as np
+
+from kaarme_tpu import cli
+from kaarme_tpu.io import reader as io_reader
+from kaarme_tpu.utils import codec, compare
+
+
+def _write_fasta(tmp_path, seed=0, n=600):
+    rng = np.random.default_rng(seed)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+    p = tmp_path / "sample.fasta"
+    p.write_text(">r1\n" + "\n".join(seq[i:i + 70] for i in range(0, n, 70)) + "\n")
+    return p
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    p = _write_fasta(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([str(p), "9", "-s", "4096", "-a", "1", "-q"])
+    assert rc == 0
+    out = tmp_path / "sample.kaarme_counts"
+    assert out.exists()
+    golden = codec.golden_count(io_reader.read_codes(str(p)), 9)
+    gold = tmp_path / "gold.txt"
+    gold.write_text("".join(f"{s} {c}\n" for s, c in sorted(golden.items())))
+    eq, diffs = compare.compare_count_files(str(out), str(gold))
+    assert eq, diffs
+
+
+def test_cli_validation_errors(tmp_path, capsys):
+    p = _write_fasta(tmp_path)
+    # both -s and -u
+    assert cli.main([str(p), "9", "-s", "100", "-u", "100", "-b"]) == 1
+    # neither
+    assert cli.main([str(p), "9"]) == 1
+    # -u without -b
+    assert cli.main([str(p), "9", "-u", "100"]) == 1
+    # -b without -u
+    assert cli.main([str(p), "9", "-s", "100", "-b"]) == 1
+    # bad threads
+    assert cli.main([str(p), "9", "-s", "100", "-t", "2"]) == 1
+    # missing file
+    assert cli.main([str(tmp_path / "nope.fa"), "9", "-s", "100"]) == 1
+
+
+def test_cli_output_option_and_banner(tmp_path, capsys):
+    p = _write_fasta(tmp_path, seed=1)
+    out = tmp_path / "custom.out"
+    rc = cli.main([str(p), "9", "-s", "4096", "-o", str(out)])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Running settings:" in captured
+    assert "FASTA" in captured
+    assert out.exists()

@@ -134,7 +134,7 @@ def test_count_step_matches_golden(k):
     )
 
     tkeys, counts = table.make_table(13, codec.words_per_kmer(k))
-    tkeys, counts, overflow = table.count_step(tkeys, counts, jnp.asarray(tiles), k)
+    tkeys, counts, overflow, _ = table.count_step(tkeys, counts, jnp.asarray(tiles), k)
     assert int(overflow) == 0
 
     got = _table_dict(tkeys, counts, k)
