@@ -65,4 +65,44 @@ size_t kt_encode_fasta(const uint8_t* in, size_t n, uint8_t* out,
     return o;
 }
 
+// Pack a {0..4} code stream for device transfer: 16 bases per uint32
+// word (base i at bits 2*(i%16)), plus an invalid bitmap (bit i of mask
+// word i/32 set when code >= 4).  Invalid positions contribute 0 bits to
+// the packed words.  Caller sizes out_packed to ceil(n/16) words and
+// out_mask to ceil(n/32) words; both are fully written (zero padded).
+void kt_pack_codes(const uint8_t* in, size_t n, uint32_t* out_packed,
+                   uint32_t* out_mask) {
+    const size_t np = (n + 15) / 16, nm = (n + 31) / 32;
+    for (size_t w = 0; w < np; ++w) out_packed[w] = 0;
+    for (size_t w = 0; w < nm; ++w) out_mask[w] = 0;
+    size_t i = 0;
+    // fast path: full 32-code groups
+    for (; i + 32 <= n; i += 32) {
+        uint32_t p0 = 0, p1 = 0, m = 0;
+        for (int j = 0; j < 16; ++j) {
+            const uint8_t c = in[i + j];
+            const uint8_t bad = c >> 2;  // 1 iff c >= 4 (codes are 0..4)
+            p0 |= static_cast<uint32_t>(bad ? 0 : c) << (2 * j);
+            m |= static_cast<uint32_t>(bad) << j;
+        }
+        for (int j = 0; j < 16; ++j) {
+            const uint8_t c = in[i + 16 + j];
+            const uint8_t bad = c >> 2;
+            p1 |= static_cast<uint32_t>(bad ? 0 : c) << (2 * j);
+            m |= static_cast<uint32_t>(bad) << (16 + j);
+        }
+        out_packed[i / 16] = p0;
+        out_packed[i / 16 + 1] = p1;
+        out_mask[i / 32] = m;
+    }
+    for (; i < n; ++i) {
+        const uint8_t c = in[i];
+        if (c >= 4) {
+            out_mask[i / 32] |= 1u << (i % 32);
+        } else {
+            out_packed[i / 16] |= static_cast<uint32_t>(c) << (2 * (i % 16));
+        }
+    }
+}
+
 }  // extern "C"

@@ -33,6 +33,9 @@ def _build_and_load():
     lib.kt_encode_plain.restype = None
     lib.kt_encode_fasta.argtypes = [u8p, ctypes.c_size_t, u8p, ctypes.POINTER(ctypes.c_int)]
     lib.kt_encode_fasta.restype = ctypes.c_size_t
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.kt_pack_codes.argtypes = [u8p, ctypes.c_size_t, u32p, u32p]
+    lib.kt_pack_codes.restype = None
     return lib
 
 
@@ -79,3 +82,60 @@ def encode_fasta(buf, prev_in_header: bool = False):
             _u8ptr(np.ascontiguousarray(a)), a.shape[0], _u8ptr(out), ctypes.byref(state)
         )
     return out[:n], bool(state.value)
+
+
+_PACK_POOL = None
+
+
+def _pool():
+    global _PACK_POOL
+    if _PACK_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PACK_POOL = ThreadPoolExecutor(max_workers=os.cpu_count() or 4)
+    return _PACK_POOL
+
+
+def pack_stream(codes: np.ndarray):
+    """2-bit pack + invalid bitmap for device transfer (3.2x fewer bytes
+    than raw codes).  Native C++ path, multithreaded over 32-code-aligned
+    slices (ctypes releases the GIL); NumPy fallback matches
+    ops/sortcount.pack_stream_np exactly."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    if lib is None:
+        from ..ops.sortcount import pack_stream_np
+
+        return pack_stream_np(codes)
+    n = codes.shape[0]
+    packed = np.empty((n + 15) // 16, np.uint32)
+    mask = np.empty((n + 31) // 32, np.uint32)
+    if not n:
+        return packed, mask
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    p_in = _u8ptr(codes)
+    p_pk = packed.ctypes.data_as(u32p)
+    p_mk = mask.ctypes.data_as(u32p)
+
+    nt = min(os.cpu_count() or 1, max(1, n // (1 << 21)))
+    if nt <= 1:
+        lib.kt_pack_codes(p_in, n, p_pk, p_mk)
+        return packed, mask
+
+    # slice boundaries aligned to 32 codes: each slice owns disjoint
+    # packed words (i/16) and mask words (i/32)
+    step = ((n // nt) // 32) * 32
+
+    def work(t):
+        lo = t * step
+        hi = n if t == nt - 1 else (t + 1) * step
+        lib.kt_pack_codes(
+            ctypes.cast(ctypes.addressof(p_in.contents) + lo, u8ptr_t),
+            hi - lo,
+            ctypes.cast(ctypes.addressof(p_pk.contents) + (lo // 16) * 4, u32p),
+            ctypes.cast(ctypes.addressof(p_mk.contents) + (lo // 32) * 4, u32p),
+        )
+
+    u8ptr_t = ctypes.POINTER(ctypes.c_uint8)
+    list(_pool().map(work, range(nt)))
+    return packed, mask

@@ -1,0 +1,237 @@
+"""Streaming canonical k-mer counter on the sort-based device backend.
+
+The flagship pipeline (see ops/sortcount.py for the kernel design): the
+host packs the encoded code stream 2-bit + validity bitmap (3.2x fewer
+transfer bytes than raw codes — the host->device link is the scarce
+resource), the device turns each fixed-size batch into a sorted
+(key, count) run, runs accumulate as separate device arrays, and every
+``merge_every`` batches (and at finalize) the runs are merged with the
+compacted prefix of distinct records (concat + sort + segment-sum).
+
+Same user surface as models.counter.KmerCounter (the probe-table
+backend): add_codes/finish/count_file/as_dict/write_output/find.
+Replaces the reference's parser-functor pipelines
+(reference: include/parallel_parser.hpp) with one device consumer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io import fastio
+from ..io import reader as io_reader
+from ..ops import sortcount
+from ..utils import codec
+
+
+@dataclasses.dataclass
+class SortCounterConfig:
+    k: int
+    mode: int = 2                  # 0 = plain, 2 = kaarme (output clipping)
+    min_abundance: int = 2
+    batch_windows: int = 1 << 24   # windows per device step
+    rows: int = 1 << 12            # 2D working layout rows (batch_windows % rows == 0)
+    merge_every: int = 4           # runs buffered between merges
+    prefix_cap: int = 1 << 22      # distinct-record prefix capacity; grows on demand
+    min_slots: int = 0             # reference -s compat: initial prefix sizing
+
+    def __post_init__(self):
+        if self.k < 2:
+            raise ValueError("k must be >= 2")
+        if self.mode not in (0, 1, 2):
+            raise ValueError("mode must be 0, 1 or 2")
+        if self.batch_windows % self.rows:
+            raise ValueError("batch_windows must be a multiple of rows")
+        if self.min_slots:
+            need = 1 << (int(self.min_slots) - 1).bit_length()
+            self.prefix_cap = max(self.prefix_cap, need)
+
+    @property
+    def words(self) -> int:
+        return codec.words_per_kmer(self.k)
+
+
+class SortKmerCounter:
+    """Streaming counter: sorted runs + compacted distinct prefix."""
+
+    def __init__(self, config: SortCounterConfig):
+        self.cfg = config
+        self.prefix = sortcount.make_store(config.prefix_cap, config.words)
+        self.n_distinct = 0
+        self.runs = []          # buffered raw key-tuple device runs
+        self._carry = np.empty(0, np.uint8)
+        self._pending = []      # encoded chunks awaiting a full batch
+        self._pending_n = 0
+        self.stats = {
+            "windows_processed": 0,
+            "batches": 0,
+            "compactions": 0,
+            "grow_events": 0,
+            "build_seconds": 0.0,
+            "write_seconds": 0.0,
+        }
+
+    # -- streaming ---------------------------------------------------------
+
+    def add_codes(self, codes: np.ndarray):
+        codes = np.asarray(codes, np.uint8)
+        if codes.shape[0] == 0:
+            return
+        self._pending.append(codes)
+        self._pending_n += codes.shape[0]
+        n = self.cfg.batch_windows
+        while self._carry.shape[0] + self._pending_n >= n + self.cfg.k - 1:
+            stream = np.concatenate([self._carry] + self._pending)
+            self._pending = [stream[n:]]
+            self._pending_n = stream.shape[0] - n
+            self._carry = np.empty(0, np.uint8)
+            self._flush(stream[: n + self.cfg.k - 1], n_real=n)
+
+    def finish(self):
+        """Process the remaining tail (padded with separators) and merge."""
+        stream = np.concatenate([self._carry] + self._pending) if self._pending \
+            else self._carry
+        self._pending, self._pending_n = [], 0
+        self._carry = np.empty(0, np.uint8)
+        if stream.shape[0] >= self.cfg.k:
+            n = self.cfg.batch_windows
+            padded = np.full(n + self.cfg.k - 1, codec.SEP, np.uint8)
+            m = min(stream.shape[0], padded.shape[0])
+            padded[:m] = stream[:m]
+            self._flush(padded, n_real=stream.shape[0] - self.cfg.k + 1)
+        self._merge()
+
+    def count_codes(self, codes: np.ndarray):
+        self.add_codes(np.asarray(codes, np.uint8))
+        self.finish()
+        return self
+
+    def count_file(self, path: str, chunk_bytes: int = io_reader.DEFAULT_CHUNK_BYTES,
+                   prefetch: int = 4):
+        chunks = io_reader.CodeChunkReader(path, chunk_bytes=chunk_bytes)
+        if prefetch:
+            chunks = io_reader.PrefetchingReader(chunks, depth=prefetch)
+        for codes in chunks:
+            self.add_codes(codes)
+        self.finish()
+        return self
+
+    # -- device steps ------------------------------------------------------
+
+    def _flush(self, stream: np.ndarray, n_real: int):
+        t0 = time.perf_counter()
+        packed, maskw = fastio.pack_stream(stream)
+        run_keys = sortcount.count_step(
+            jnp.asarray(packed), jnp.asarray(maskw),
+            k=self.cfg.k, n=self.cfg.batch_windows, rows=self.cfg.rows,
+        )
+        self.runs.append(run_keys)
+        self.stats["batches"] += 1
+        self.stats["windows_processed"] += max(n_real, 0)
+        if len(self.runs) >= self.cfg.merge_every:
+            self._merge()
+        self.stats["build_seconds"] += time.perf_counter() - t0
+
+    def _merge(self):
+        """Merge buffered runs into the compacted distinct prefix."""
+        if not self.runs:
+            return
+        store, nd = sortcount.merge_compact(self.prefix, self.runs)
+        nd = int(nd)
+        while nd > self.cfg.prefix_cap:
+            # distinct set outgrew the prefix: double it (the merge result
+            # is complete — capacity only governs the slice kept below)
+            self.cfg.prefix_cap *= 2
+            self.stats["grow_events"] += 1
+        cap = self.cfg.prefix_cap
+        total = store[-1].shape[0]
+        if cap <= total:
+            self.prefix = tuple(col[:cap] for col in store)
+        else:  # pad dead tail up to the grown capacity
+            self.prefix = tuple(
+                jnp.concatenate([col, jnp.zeros((cap - total,), col.dtype)])
+                for col in store
+            )
+        self.n_distinct = nd
+        self.runs = []
+        self.stats["compactions"] += 1
+
+    # -- output ------------------------------------------------------------
+
+    def _clip(self, counts: np.ndarray) -> np.ndarray:
+        if self.cfg.mode == 0:
+            return counts & 0xFFFF        # uint16 wrap, reference plain table
+        return np.minimum(counts, 16383)  # 14-bit saturation, kaarme table
+
+    def dump(self):
+        """(keys (N, W) uint32 sorted, counts (N,) int64) of all distinct
+        k-mers, before abundance filtering / clipping."""
+        self._merge()
+        nd = self.n_distinct
+        if not nd:
+            return (np.zeros((0, self.cfg.words), np.uint32),
+                    np.zeros((0,), np.int64))
+        keys = np.stack(
+            [np.asarray(jax.device_get(c[:nd])) for c in self.prefix[:-1]], axis=1
+        )
+        cnt = np.asarray(jax.device_get(self.prefix[-1][:nd])).astype(np.int64)
+        return keys, cnt
+
+    def as_dict(self) -> dict:
+        tk, cn = self.dump()
+        cn = self._clip(cn)
+        keep = cn >= self.cfg.min_abundance
+        names = codec.unpack_kmers(tk[keep], self.cfg.k) if keep.any() else []
+        return dict(zip(names, cn[keep].tolist()))
+
+    def write_output(self, path: str) -> int:
+        """`KMER COUNT` lines, canonical k-mers in sorted order (the
+        reference emits table order and its comparator sorts — reference:
+        source/kmer_hash_table.cpp:4318-4524, pytools/compare_outputs.py)."""
+        t0 = time.perf_counter()
+        tk, cn = self.dump()
+        cn = self._clip(cn)
+        keep = cn >= self.cfg.min_abundance
+        tk, cn = tk[keep], cn[keep]
+        n = tk.shape[0]
+        with open(path, "wb") as f:
+            if n:
+                k = self.cfg.k
+                chars = np.empty((n, k), np.uint8)
+                for i in range(k):
+                    chars[:, i] = (tk[:, i // 16] >> np.uint32(30 - 2 * (i % 16))) & np.uint32(3)
+                lut = np.frombuffer(b"ACGT", np.uint8)
+                kmer_b = lut[chars].view(f"S{k}").ravel().astype(object)
+                cnt_b = cn.astype(f"S{len(str(int(cn.max())))}").astype(object)
+                f.write(b"".join((kmer_b + b" " + cnt_b + b"\n").tolist()))
+        self.stats["write_seconds"] += time.perf_counter() - t0
+        return int(n)
+
+    # -- queries -----------------------------------------------------------
+
+    def find(self, kmers) -> list:
+        """Counts for query k-mer strings (0 if absent, -1 if malformed)."""
+        if isinstance(kmers, str):
+            kmers = [kmers]
+        tk, cn = self.dump()
+        w = self.cfg.words
+        packed = np.zeros((len(kmers), w), np.uint32)
+        ok = np.ones(len(kmers), bool)
+        for i, s in enumerate(kmers):
+            if len(s) != self.cfg.k or any(ch not in "ACGTacgt" for ch in s):
+                ok[i] = False
+                continue
+            packed[i] = codec.pack_kmer(codec.canonical(s.upper()))
+        out = self._clip(sortcount.lookup_sorted(tk, cn, packed))
+        return [int(c) if good else -1 for c, good in zip(out, ok)]
+
+    # -- diagnostics -------------------------------------------------------
+
+    def occupancy(self) -> tuple:
+        self._merge()
+        return self.n_distinct, self.cfg.prefix_cap

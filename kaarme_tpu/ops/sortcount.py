@@ -1,0 +1,355 @@
+"""Sort-based canonical k-mer counting (device side, JAX/XLA).
+
+The flagship TPU counting path.  The reference resolves each k-mer with a
+CAS probe loop into a shared hash table (``process_kmer_MT``, reference:
+source/kmer_hash_table.cpp:2207-2567).  On TPU, data-dependent probing
+serializes, while sorting is extremely fast — so counting is reformulated
+as *sort + segment-reduce*:
+
+  per batch of n windows (one fused jit step):
+    1. unpack the 2-bit host stream (16 bases / uint32 word) + validity
+       bitmap into per-position codes;
+    2. materialize all canonical window keys at once (big-endian packed
+       words, so string order == word-tuple order) — the vectorized
+       replacement of the reference's rolling factory
+       (source/kmer_factory.cpp:104-239);
+    3. sort the n records by key words — invalid windows become all-ones
+       sentinel rows and sink to the end;
+    4. mark segment boundaries of equal keys and emit, at each segment's
+       last row, the segment length (= in-batch count); all other rows
+       carry count 0;
+    5. append the sorted run to a persistent store (dynamic-update-slice
+       at a host-tracked offset).
+
+  when the store fills (or at finalize), ``compact`` sorts the store,
+  segment-sums the counts of equal keys, and packs the distinct records
+  into a sorted prefix — two sorts + cumulative ops, no scatters.
+
+TPU performance rules baked into this file (measured on v5e; each was
+worth 100-1000x):
+
+- ``jax.lax.optimization_barrier`` between pipeline stages: XLA
+  otherwise fuses elementwise work into the sort and the step slows down
+  ~400x.
+- NO boolean arrays.  i1 tensors at fusion boundaries deoptimize
+  catastrophically at 16M+ elements (0.1ms -> 150ms per step).  All
+  masks here are int32/uint32 in {0,1} or all-ones bitmasks, built with
+  arithmetic (sign-shift, min/max, xor-nonzero).
+- no lane-misaligned 1D shifts on big arrays outside the shifted-slice
+  + reshape pattern (windows) or jnp.roll (sorted runs).
+
+Sentinel encoding: all-ones key words mark invalid/dead rows.  A real
+canonical k-mer can never be all-ones: T^k is never canonical (its
+reverse complement A^k is strictly smaller), and for k % 16 != 0 the
+left-aligned trailing word has zero low bits.  Sentinels sort after
+every real key, so no separate validity column is needed — sort arity
+stays at W (compile time of XLA's TPU sort grows steeply with arity).
+
+Counts are int32; output-time clipping (14-bit saturation in kaarme
+mode, uint16 wrap in plain mode — reference: source/kmer.cpp:699-713,
+source/kmer_hash_table.cpp:2001) happens host-side in the model layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.codec import words_per_kmer
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+_B = jax.lax.optimization_barrier
+
+
+def _nz(d):
+    """int32 1 where uint32 d != 0 else 0 — without booleans."""
+    return ((d | (jnp.uint32(0) - d)) >> jnp.uint32(31)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side stream packing (NumPy fallback; C++ fast path in io/fastio.py)
+# ---------------------------------------------------------------------------
+
+def pack_stream_np(codes: np.ndarray):
+    """Pack a {0..4} code stream for transfer: 16 bases per uint32 word
+    (base i at bits 2*(i%16) of word i//16, little-endian within the
+    word) plus a validity bitmap (bit set == invalid/reset position).
+
+    Invalid positions carry code 0 in the packed words; the bitmap is the
+    source of truth.  Returns (packed uint32, maskwords uint32).
+    """
+    codes = np.asarray(codes, np.uint8)
+    n = codes.shape[0]
+    bad = codes >= 4
+    c = np.where(bad, np.uint8(0), codes).astype(np.uint32)
+    npad16 = (-n) % 16
+    if npad16:
+        c = np.concatenate([c, np.zeros(npad16, np.uint32)])
+    shifts = (np.arange(16, dtype=np.uint32) * 2).astype(np.uint32)
+    packed = np.bitwise_or.reduce(c.reshape(-1, 16) << shifts[None, :], axis=1)
+
+    b = bad.astype(np.uint32)
+    npad32 = (-n) % 32
+    if npad32:
+        b = np.concatenate([b, np.zeros(npad32, np.uint32)])
+    bshifts = np.arange(32, dtype=np.uint32)
+    maskwords = np.bitwise_or.reduce(b.reshape(-1, 32) << bshifts[None, :], axis=1)
+    return packed.astype(np.uint32), maskwords.astype(np.uint32)
+
+
+def unpack_stream(packed, maskwords, n: int):
+    """Device-side unpack: (codes uint32 [n], invalid int32 {0,1} [n]).
+
+    Invalid positions get code 0 in ``codes`` (their windows are dropped
+    via the sentinel mask, so the code value never matters).
+    """
+    x = jnp.stack(
+        [(packed >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(16)], axis=1
+    ).reshape(-1)[:n]
+    m = jnp.stack(
+        [(maskwords >> jnp.uint32(j)) & jnp.uint32(1) for j in range(32)], axis=1
+    ).reshape(-1)[:n]
+    return x, m.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused batch step
+# ---------------------------------------------------------------------------
+
+def _canonical_keys_2d(shift, k: int):
+    """Packed canonical key words from a shift-provider.
+
+    ``shift(i)`` returns the 2D uint32 code plane at window offset i.
+    Returns a list of W uint32 planes (big-endian packed, reference
+    orientation semantics: lexicographic min of forward / reverse
+    complement, ties -> forward — source/kmer_factory.cpp:219-233).
+    """
+    W = words_per_kmer(k)
+
+    def pack(widx: int, rc: bool):
+        acc = None
+        for j in range(16):
+            i = 16 * widx + j
+            if acc is not None:
+                acc = acc << jnp.uint32(2)
+            if i < k:
+                if rc:
+                    plane = (jnp.uint32(3) - shift(k - 1 - i)) & jnp.uint32(3)
+                else:
+                    plane = shift(i)
+                acc = plane if acc is None else (acc | plane)
+        return acc
+
+    fwd = [pack(w, rc=False) for w in range(W)]
+    rcw = [pack(w, rc=True) for w in range(W)]
+
+    # Single-pass lexicographic compare with an int32 carry: scanning
+    # words last-to-first, the first differing word decides.  The
+    # comparisons feed jnp.where directly (fused selects — safe); no i1
+    # tensor survives the stage.
+    c = jnp.zeros(fwd[0].shape, jnp.int32)
+    for f, r in zip(reversed(fwd), reversed(rcw)):
+        c = jnp.where(f < r, jnp.int32(-1), jnp.where(f > r, jnp.int32(1), c))
+    return [jnp.where(c <= 0, f, r) for f, r in zip(fwd, rcw)]
+
+
+def window_keys(packed, maskwords, k: int, n: int, rows: int):
+    """One batch: packed stream -> n canonical window keys (UNSORTED).
+
+    Args:
+      packed:    uint32 [ceil((n+k-1)/16)] 2-bit packed codes.
+      maskwords: uint32 [ceil((n+k-1)/32)] invalid bitmap.
+      k:         window length (static).
+      n:         number of window positions (static, multiple of ``rows``).
+      rows:      2D working-layout row count (static).
+
+    Returns a tuple of W uint32 [n] arrays; invalid windows are sentinel
+    (all-ones) rows.  No per-batch sort/count happens here: the merge
+    sorts everything anyway, so batch-local ordering would be pure waste
+    (~40% of step time on the measured hardware).
+    """
+    L = n + k - 1
+    cols = n // rows
+    codes, invalid = unpack_stream(packed, maskwords, L)
+    codes, invalid = _B((codes, invalid))
+
+    def shift(i: int):
+        return jax.lax.slice(codes, (i,), (i + n,)).reshape(rows, cols)
+
+    keys = list(_B(tuple(_canonical_keys_2d(shift, k))))
+
+    # Window validity: window t is bad iff the next invalid position at
+    # or after t is < t + k.  next-invalid via reverse cummin; the bad
+    # mask becomes an all-ones bitmask through an arithmetic sign-extend
+    # (no boolean tensors).
+    idx_l = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    nii = jax.lax.cummin(
+        idx_l * invalid + (1 - invalid) * jnp.int32(1 << 30), reverse=True
+    )
+    nii = _B(nii)
+    d = jax.lax.slice(nii, (0,), (n,)) - jax.lax.broadcasted_iota(jnp.int32, (n,), 0) - k
+    smask = jax.lax.bitcast_convert_type(d >> 31, jnp.uint32)  # all-ones iff bad
+
+    return tuple(x.reshape(-1) | smask for x in keys)
+
+
+def _is_sentinel_i32(keys):
+    """int32 1 where the row is a sentinel (all key words all-ones)."""
+    acc = keys[0]
+    for x in keys[1:]:
+        acc = acc & x
+    return 1 - _nz(acc ^ SENTINEL)
+
+
+def _segment_marks(s_keys):
+    """(idx, first, last) int32 {0,1} row masks of equal-key segments of
+    sorted keys — all-integer, barrier-fenced (see module docstring)."""
+    n = s_keys[0].shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    neq = _nz(s_keys[0] ^ jnp.roll(s_keys[0], 1))
+    for x in s_keys[1:]:
+        neq = jnp.maximum(neq, _nz(x ^ jnp.roll(x, 1)))
+    neq = _B(neq)
+    first = jnp.maximum(neq, 1 - jnp.minimum(idx, 1))        # row 0 is first
+    last = jnp.roll(first, -1)
+    last = jnp.maximum(last, 1 - jnp.minimum(n - 1 - idx, 1))  # row n-1 is last
+    first, last = _B((first, last))
+    return idx, first, last
+
+
+def _boundary_counts(s_keys):
+    """Per-record count of its segment, emitted at the segment's LAST row
+    (0 elsewhere); sentinel records count 0.  Inputs sorted."""
+    idx, first, last = _segment_marks(s_keys)
+    start = jax.lax.cummax(first * idx)
+    start = _B(start)
+    alive = last * (1 - _is_sentinel_i32(s_keys))
+    return alive * (idx - start + 1)
+
+
+# ---------------------------------------------------------------------------
+# Store: append + compact
+# ---------------------------------------------------------------------------
+
+def make_store(cap: int, words: int):
+    """Store columns: W uint32 key columns + 1 int32 count column.
+    Rows with count 0 are dead; zero-key dead rows (the initial state)
+    merge harmlessly into a real A^k segment because they add count 0."""
+    return tuple(jnp.zeros((cap,), jnp.uint32) for _ in range(words)) + (
+        jnp.zeros((cap,), jnp.int32),
+    )
+
+
+def compact(store):
+    """Merge duplicate keys and pack distinct records into a sorted
+    prefix.  Returns (store, n_distinct).
+
+    Two sorts around cumulative segment sums; the segment sum uses the
+    monotone-cumsum trick (cnt >= 0 makes prefix sums nondecreasing, so
+    the segment base propagates with cummax) — no gathers, no scatters.
+    """
+    *keys, cnt = store
+
+    order = tuple(keys) + (cnt,)
+    s = jax.lax.sort(order, num_keys=len(keys))
+    s = _B(s)
+    s_keys, s_cnt = list(s[:-1]), s[-1]
+
+    # Clamp huge per-key counts to 2^20 + (c mod 2^20).  Both output
+    # contracts survive this: saturation needs only c >= 16383
+    # (reference: source/kmer.cpp:699-713) and uint16 wrap needs only
+    # c mod 65536 (reference: source/kmer_hash_table.cpp:2001), and
+    # 65536 | 2^20.  It also keeps the int32 prefix sums below from
+    # overflowing for any realistic workload.
+    big = jnp.int32(1 << 20)
+    s_cnt = jnp.where(s_cnt > big, big + (s_cnt & (big - 1)), s_cnt)
+
+    idx, first, last = _segment_marks(s_keys)
+
+    csum = jnp.cumsum(s_cnt)
+    csum = _B(csum)
+    prev = jnp.roll(csum, 1) * jnp.minimum(idx, 1)   # zero at row 0
+    base = jax.lax.cummax(first * prev)
+    base = _B(base)
+    alive = last * (1 - _is_sentinel_i32(s_keys))
+    seg = alive * (csum - base)
+
+    # pack alive records (seg > 0) to the front in key order: everything
+    # else becomes a sentinel row and sinks in one more sort
+    smask = jax.lax.bitcast_convert_type((seg - 1) >> 31, jnp.uint32)
+    s_keys = [x | smask for x in s_keys]
+    order2 = tuple(s_keys) + (seg,)
+    s2 = jax.lax.sort(order2, num_keys=len(s_keys))
+    s2 = _B(s2)
+    out_keys, out_cnt = list(s2[:-1]), s2[-1]
+    n_distinct = jnp.sum(jnp.minimum(out_cnt, 1))
+    return tuple(out_keys) + (out_cnt,), n_distinct
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k", "n", "rows"))
+def count_step(packed, maskwords, *, k: int, n: int, rows: int):
+    """Fused device step: unpack -> canonical window keys (unsorted run).
+
+    Runs stay as separate device arrays (the "store" is a list of runs
+    plus a compacted prefix) and meet only inside ``merge_compact``:
+    appending via dynamic-update-slice into one big buffer costs a
+    relayout per batch AND multiplies XLA compile time, so it was
+    dropped; per-batch sorting was dropped too (the merge re-sorts).
+    """
+    return window_keys(packed, maskwords, k, n, rows)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def merge_compact(prefix, runs):
+    """Concatenate the compacted prefix columns with a list of raw key
+    runs (implicit count 1 each) and compact the union.  Returns
+    (store columns, n_distinct); the distinct records form a sorted
+    prefix of the output columns.
+
+    prefix: tuple of W uint32 cols + int32 cnt col (dead rows sentinel
+    or zero-key with cnt 0).  runs: list of key tuples (W cols each).
+    """
+    w = len(prefix) - 1
+    cols = [
+        jnp.concatenate([prefix[i]] + [r[i] for r in runs]) for i in range(w)
+    ]
+    nrun = sum(r[0].shape[0] for r in runs)
+    cnt = jnp.concatenate([prefix[-1], jnp.ones((nrun,), jnp.int32)])
+    return compact(tuple(cols) + (cnt,))
+
+
+def lookup_sorted(keys_np: np.ndarray, cnt_np: np.ndarray, queries: np.ndarray):
+    """Host-side binary search over the compacted store prefix.
+
+    keys_np: (N, W) uint32 rows sorted lexicographically; queries: (Q, W)
+    uint32.  Returns int64 counts (0 where absent).  The TPU analogue of
+    the reference's ``find`` (source/kmer_hash_table.cpp:2675-2727).
+
+    Per query: narrow an index range column by column (each column is
+    sorted within the range fixed by the previous columns).
+    """
+    q = queries.shape[0]
+    out = np.zeros(q, np.int64)
+    n = keys_np.shape[0]
+    if n == 0:
+        return out
+    w = keys_np.shape[1]
+    for i in range(q):
+        lo, hi = 0, n
+        for j in range(w):
+            col = keys_np[lo:hi, j]
+            v = queries[i, j]
+            lo, hi = lo + np.searchsorted(col, v, "left"), lo + np.searchsorted(col, v, "right")
+            if lo == hi:
+                break
+        if lo < hi:
+            out[i] = int(cnt_np[lo])
+    return out

@@ -1,0 +1,180 @@
+"""Sort-based counting backend: kernel units + end-to-end golden equality."""
+
+import numpy as np
+import pytest
+
+from kaarme_tpu.io import fastio
+from kaarme_tpu.models.sort_counter import SortCounterConfig, SortKmerCounter
+from kaarme_tpu.ops import sortcount
+from kaarme_tpu.utils import codec
+
+
+def _random_stream(rng, n, p_sep=0.02):
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    sep = rng.random(n) < p_sep
+    codes[sep] = 4
+    return codes
+
+
+def _counter(k, **kw):
+    kw.setdefault("batch_windows", 1 << 12)
+    kw.setdefault("rows", 1 << 6)
+    kw.setdefault("prefix_cap", 1 << 13)
+    kw.setdefault("min_abundance", 1)
+    return SortKmerCounter(SortCounterConfig(k=k, **kw))
+
+
+# -- packing -----------------------------------------------------------------
+
+def test_pack_stream_native_matches_numpy():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 15, 16, 17, 31, 32, 33, 1000):
+        codes = _random_stream(rng, n, p_sep=0.2)
+        p_np, m_np = sortcount.pack_stream_np(codes)
+        p_c, m_c = fastio.pack_stream(codes)
+        np.testing.assert_array_equal(p_np, p_c)
+        np.testing.assert_array_equal(m_np, m_c)
+
+
+def test_unpack_roundtrip():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    codes = _random_stream(rng, 777, p_sep=0.1)
+    p, m = sortcount.pack_stream_np(codes)
+    dev_codes, inval = sortcount.unpack_stream(jnp.asarray(p), jnp.asarray(m), 777)
+    got = np.where(np.asarray(inval) == 1, 4, np.asarray(dev_codes)).astype(np.uint8)
+    np.testing.assert_array_equal(got, codes)
+
+
+# -- end-to-end golden equality ----------------------------------------------
+
+@pytest.mark.parametrize("k", [5, 13, 16, 17, 31, 32, 33, 51, 63])
+def test_golden_equality(k):
+    rng = np.random.default_rng(k)
+    codes = _random_stream(rng, 3000)
+    c = _counter(k).count_codes(codes)
+    assert c.as_dict() == codec.golden_count(codes, k)
+
+
+def test_multi_batch_and_carry():
+    """Stream large enough to span several batches; windows crossing batch
+    boundaries must be counted exactly once."""
+    k = 21
+    rng = np.random.default_rng(7)
+    codes = _random_stream(rng, 40000, p_sep=0.01)
+    c = _counter(k)
+    # feed in awkward chunk sizes
+    i = 0
+    for sz in (1, 13, 999, 5000, 17, 34000):
+        c.add_codes(codes[i : i + sz])
+        i += sz
+    c.add_codes(codes[i:])
+    c.finish()
+    assert c.as_dict() == codec.golden_count(codes, k)
+
+
+def test_compaction_and_growth():
+    """Tiny prefix forces repeated merges and at least one growth."""
+    k = 9
+    rng = np.random.default_rng(3)
+    codes = _random_stream(rng, 120000, p_sep=0.005)
+    c = _counter(k, prefix_cap=1 << 10)
+    c.count_codes(codes)
+    assert c.stats["compactions"] >= 2
+    assert c.stats["grow_events"] >= 1
+    assert c.as_dict() == codec.golden_count(codes, k)
+
+
+def test_revcomp_invariance():
+    """count(seq) == count(revcomp(seq)) — canonicalization property."""
+    k = 15
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=4000).astype(np.uint8)
+    rc = (3 - codes)[::-1].astype(np.uint8)
+    a = _counter(k).count_codes(codes).as_dict()
+    b = _counter(k).count_codes(rc).as_dict()
+    assert a == b
+
+
+def test_total_count_equals_windows():
+    k = 11
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, 4, size=5000).astype(np.uint8)  # no separators
+    c = _counter(k).count_codes(codes)
+    assert sum(c.as_dict().values()) == 5000 - k + 1
+
+
+# -- modes / output contract -------------------------------------------------
+
+def test_mode_clipping():
+    k = 4
+    codes = np.tile(np.array([0, 1, 2, 3], np.uint8), 5000)  # one dominant kmer
+    kaarme = _counter(k, mode=2).count_codes(codes).as_dict()
+    plain = _counter(k, mode=0).count_codes(codes).as_dict()
+    # saturation vs wrap behaviour must differ once count > 16383
+    golden = codec.golden_count(codes, k)
+    assert all(v == min(golden[km], 16383) for km, v in kaarme.items())
+    for km, v in plain.items():
+        assert v == golden[km] & 0xFFFF
+
+
+def test_min_abundance_filter():
+    k = 7
+    rng = np.random.default_rng(9)
+    codes = _random_stream(rng, 9000)
+    g = codec.golden_count(codes, k)
+    c = _counter(k, min_abundance=2).count_codes(codes)
+    expect = {km: v for km, v in g.items() if v >= 2}
+    assert c.as_dict() == expect
+
+
+def test_write_output_sorted(tmp_path):
+    k = 8
+    rng = np.random.default_rng(11)
+    codes = _random_stream(rng, 6000)
+    c = _counter(k).count_codes(codes)
+    out = tmp_path / "counts.txt"
+    n = c.write_output(str(out))
+    lines = out.read_text().splitlines()
+    assert len(lines) == n
+    kmers = [ln.split()[0] for ln in lines]
+    assert kmers == sorted(kmers)
+    got = {ln.split()[0]: int(ln.split()[1]) for ln in lines}
+    assert got == codec.golden_count(codes, k)
+
+
+# -- queries -----------------------------------------------------------------
+
+def test_find():
+    k = 13
+    rng = np.random.default_rng(13)
+    codes = _random_stream(rng, 5000)
+    c = _counter(k).count_codes(codes)
+    g = codec.golden_count(codes, k)
+    some = list(g)[:20]
+    got = c.find(some)
+    assert got == [g[s] for s in some]
+    # absent + malformed
+    assert c.find(["A" * k]) == [g.get("A" * k, 0)]
+    assert c.find(["N" * k, "A" * (k - 1)]) == [-1, -1]
+    # non-canonical query resolves via its canonical form
+    s = some[0]
+    assert c.find([codec.revcomp(s)]) == [g[s]]
+
+
+def test_file_pipeline(tmp_path):
+    k = 17
+    rng = np.random.default_rng(17)
+    seqs = ["".join(rng.choice(list("ACGT"), size=rng.integers(k, 200)))
+            for _ in range(40)]
+    fa = tmp_path / "reads.fasta"
+    fa.write_text("".join(f">r{i} desc\n{s}\n" for i, s in enumerate(seqs)))
+    c = _counter(k)
+    c.count_file(str(fa))
+    golden: dict = {}
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            km = codec.canonical(s[i : i + k])
+            golden[km] = golden.get(km, 0) + 1
+    assert c.as_dict() == golden
