@@ -1,9 +1,14 @@
 """Headline benchmark: canonical k-mers counted per second on one chip.
 
 Replicates the reference's headline workload shape (ecoli-scale genome,
-k=51, ~8M-slot table — reference README.md example) with synthetic reads,
-and measures the steady-state device pipeline: canonical window
-extraction + hashing + batched HBM table insert.
+k=51, ~8x read coverage — reference README.md example) with synthetic
+reads and measures the full single-chip pipeline end to end: host 2-bit
+pack -> transfer -> canonical window extraction -> global sort ->
+segment-reduce merge into the distinct-kmer store.
+
+Timing is forced-honest: the device queue is drained with real data
+fetches before the clock stops (on the axon backend, block_until_ready
+returns before execution finishes).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
@@ -29,7 +34,6 @@ def make_reads(genome_mb: float, coverage: int, read_len: int, seed: int = 0):
     starts = rng.integers(0, glen - read_len, size=n_reads)
     offs = np.arange(read_len)
     reads = genome[starts[:, None] + offs[None, :]]  # (n_reads, read_len)
-    # join with separators (code 4), flattened
     stream = np.full((n_reads, read_len + 1), 4, np.uint8)
     stream[:, :read_len] = reads
     return stream.reshape(-1)
@@ -41,58 +45,53 @@ def main():
     ap.add_argument("--genome-mb", type=float, default=4.6)
     ap.add_argument("--coverage", type=int, default=8)
     ap.add_argument("--read-len", type=int, default=150)
-    ap.add_argument("--cap-log2", type=int, default=23)
-    ap.add_argument("--tile", type=int, default=1 << 15)
-    ap.add_argument("--batch-tiles", type=int, default=32)
-    ap.add_argument("--max-probes", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--batch-log2", type=int, default=24)
+    ap.add_argument("--rows-log2", type=int, default=12)
+    ap.add_argument("--merge-every", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    from kaarme_tpu.models.tiling import TileBatcher
-    from kaarme_tpu.ops import table as table_ops
-    from kaarme_tpu.utils import codec
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from kaarme_tpu.models.sort_counter import SortCounterConfig, SortKmerCounter
 
     k = args.k
     codes = make_reads(args.genome_mb, args.coverage, args.read_len)
+    n_windows = int((codes.shape[0] // (args.read_len + 1))
+                    * (args.read_len - k + 1))
 
-    batcher = TileBatcher(k, args.tile, args.batch_tiles)
-    batches = list(batcher.add(codes)) + list(batcher.finish())
-    dev_batches = [jnp.asarray(b) for b in batches]
-    jax.block_until_ready(dev_batches)
-    n_windows = sum(b.shape[0] * args.tile for b in batches)
-
-    words = codec.words_per_kmer(k)
+    def drain(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            np.asarray(leaf[:1])
 
     def run_once():
-        tkeys, counts = table_ops.make_table(args.cap_log2, words)
-        ovf_total = 0
-        for b in dev_batches:
-            tkeys, counts, ovf, _ = table_ops.count_step(
-                tkeys, counts, b, k, args.max_probes
-            )
-            ovf_total += int(ovf)
-        jax.block_until_ready((tkeys, counts))
-        return ovf_total, counts
+        cfg = SortCounterConfig(
+            k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
+            merge_every=args.merge_every, prefix_cap=1 << 22, min_abundance=2,
+        )
+        c = SortKmerCounter(cfg)
+        t0 = time.perf_counter()
+        c.count_codes(codes)
+        drain(c.prefix)
+        dt = time.perf_counter() - t0
+        return dt, c
 
     # warm-up / compile
-    ovf, counts = run_once()
-    if ovf:
-        print(f"warning: {ovf} overflow windows", file=sys.stderr)
+    _, counter = run_once()
 
     best = float("inf")
     for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        run_once()
-        best = min(best, time.perf_counter() - t0)
+        dt, counter = run_once()
+        best = min(best, dt)
 
     kmers_per_s = n_windows / best
-    used = int((np.asarray(counts) > 0).sum())
     print(
-        f"# device={jax.devices()[0]} windows={n_windows} "
-        f"time={best:.3f}s distinct={used} k={k}",
+        f"# device={jax.devices()[0]} windows={n_windows} time={best:.3f}s "
+        f"distinct={counter.n_distinct} k={k} batches={counter.stats['batches']} "
+        f"merges={counter.stats['compactions']}",
         file=sys.stderr,
     )
     print(json.dumps({

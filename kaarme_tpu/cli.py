@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Estimated number of unique k-mers")
     p.add_argument("--devices", type=int, default=0,
                    help="Shard the table over this many devices (0 = single device)")
+    p.add_argument("--backend", choices=("sort", "table"), default="sort",
+                   help="Counting backend: 'sort' (flagship sort/segment-reduce "
+                        "pipeline, fastest on TPU) or 'table' (batched "
+                        "open-addressing probe table) (def. sort)")
     p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
     return p
 
@@ -121,6 +125,24 @@ def main(argv=None) -> int:
             min_abundance=args.min_k_abu,
         )
         counter = bloom_count_file(cfg, args.INPUT, prefetch=max(1, args.threads - 2))
+    elif args.backend == "sort":
+        from .models.sort_counter import SortCounterConfig, SortKmerCounter
+
+        # size the device batch from the input so small inputs do not pay
+        # 16M-window compiles (file bytes upper-bound the window count)
+        est = max(os.path.getsize(args.INPUT), 1)
+        blog2 = max(12, min(24, (est - 1).bit_length()))
+        cfg = SortCounterConfig(
+            k=args.KLEN,
+            min_slots=args.hash_tab_size,
+            mode=args.hash_table_type,
+            min_abundance=args.min_k_abu,
+            batch_windows=1 << blog2,
+            rows=1 << (blog2 // 2),
+            prefix_cap=1 << max(12, min(22, blog2)),
+        )
+        counter = SortKmerCounter(cfg)
+        counter.count_file(args.INPUT, prefetch=max(1, args.threads - 2))
     else:
         cfg = CounterConfig(
             k=args.KLEN,

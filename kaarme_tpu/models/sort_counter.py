@@ -34,9 +34,10 @@ class SortCounterConfig:
     k: int
     mode: int = 2                  # 0 = plain, 2 = kaarme (output clipping)
     min_abundance: int = 2
-    batch_windows: int = 1 << 24   # windows per device step
-    rows: int = 1 << 12            # 2D working layout rows (batch_windows % rows == 0)
-    merge_every: int = 4           # runs buffered between merges
+    batch_windows: int = 1 << 24   # windows per device step (power of two)
+    rows: int = 1 << 12            # 2D working layout rows (power of two <= batch)
+    merge_every: int = 4           # full-batch equivalents buffered between merges
+    superbatch_batches: int = 4    # device batches per host->device transfer
     prefix_cap: int = 1 << 22      # distinct-record prefix capacity; grows on demand
     min_slots: int = 0             # reference -s compat: initial prefix sizing
 
@@ -45,8 +46,12 @@ class SortCounterConfig:
             raise ValueError("k must be >= 2")
         if self.mode not in (0, 1, 2):
             raise ValueError("mode must be 0, 1 or 2")
-        if self.batch_windows % self.rows:
-            raise ValueError("batch_windows must be a multiple of rows")
+        if self.batch_windows & (self.batch_windows - 1):
+            raise ValueError("batch_windows must be a power of two")
+        if self.rows & (self.rows - 1) or self.rows > self.batch_windows:
+            raise ValueError("rows must be a power of two <= batch_windows")
+        if self.batch_windows < 32:
+            raise ValueError("batch_windows must be >= 32")
         if self.min_slots:
             need = 1 << (int(self.min_slots) - 1).bit_length()
             self.prefix_cap = max(self.prefix_cap, need)
@@ -54,6 +59,12 @@ class SortCounterConfig:
     @property
     def words(self) -> int:
         return codec.words_per_kmer(self.k)
+
+    def tail_size(self, r: int) -> int:
+        """Smallest power-of-two batch (>= rows, <= batch_windows) that
+        holds r windows — bounds padding waste on the final batch."""
+        t = max(self.rows, 1 << (max(r, 1) - 1).bit_length(), 32)
+        return min(t, self.batch_windows)
 
 
 class SortKmerCounter:
@@ -84,13 +95,13 @@ class SortKmerCounter:
             return
         self._pending.append(codes)
         self._pending_n += codes.shape[0]
-        n = self.cfg.batch_windows
-        while self._carry.shape[0] + self._pending_n >= n + self.cfg.k - 1:
+        sb = self.cfg.superbatch_batches * self.cfg.batch_windows
+        while self._carry.shape[0] + self._pending_n >= sb + self.cfg.k - 1:
             stream = np.concatenate([self._carry] + self._pending)
-            self._pending = [stream[n:]]
-            self._pending_n = stream.shape[0] - n
+            self._pending = [stream[sb:]]
+            self._pending_n = stream.shape[0] - sb
             self._carry = np.empty(0, np.uint8)
-            self._flush(stream[: n + self.cfg.k - 1], n_real=n)
+            self._process_stream(stream[: sb + self.cfg.k - 1], sb)
 
     def finish(self):
         """Process the remaining tail (padded with separators) and merge."""
@@ -99,11 +110,7 @@ class SortKmerCounter:
         self._pending, self._pending_n = [], 0
         self._carry = np.empty(0, np.uint8)
         if stream.shape[0] >= self.cfg.k:
-            n = self.cfg.batch_windows
-            padded = np.full(n + self.cfg.k - 1, codec.SEP, np.uint8)
-            m = min(stream.shape[0], padded.shape[0])
-            padded[:m] = stream[:m]
-            self._flush(padded, n_real=stream.shape[0] - self.cfg.k + 1)
+            self._process_stream(stream, stream.shape[0] - self.cfg.k + 1)
         self._merge()
 
     def count_codes(self, codes: np.ndarray):
@@ -123,17 +130,41 @@ class SortKmerCounter:
 
     # -- device steps ------------------------------------------------------
 
-    def _flush(self, stream: np.ndarray, n_real: int):
+    def _process_stream(self, stream: np.ndarray, n_windows: int):
+        """Pack + transfer one superbatch, then slice device batches off
+        it.  One big transfer amortizes the link's ~0.5 s fixed latency;
+        the final batch shrinks to a power-of-two (tail_size) so padding
+        never exceeds ~50% of one tail batch."""
         t0 = time.perf_counter()
+        cfg = self.cfg
+        k = cfg.k
+        n_full, r = divmod(n_windows, cfg.batch_windows)
+        tail = cfg.tail_size(r) if r else 0
+        # the packed buffer must cover the last batch's halo + padding
+        need = n_full * cfg.batch_windows + (tail if tail else 0) + k - 1
+        if stream.shape[0] < need:
+            stream = np.concatenate(
+                [stream, np.full(need - stream.shape[0], codec.SEP, np.uint8)]
+            )
         packed, maskw = fastio.pack_stream(stream)
-        run_keys = sortcount.count_step(
-            jnp.asarray(packed), jnp.asarray(maskw),
-            k=self.cfg.k, n=self.cfg.batch_windows, rows=self.cfg.rows,
-        )
-        self.runs.append(run_keys)
-        self.stats["batches"] += 1
-        self.stats["windows_processed"] += max(n_real, 0)
-        if len(self.runs) >= self.cfg.merge_every:
+        packed_d, maskw_d = jnp.asarray(packed), jnp.asarray(maskw)
+
+        sizes = [cfg.batch_windows] * n_full + ([tail] if tail else [])
+        start = 0
+        for n in sizes:
+            rows = min(cfg.rows, n)
+            run_keys = sortcount.count_step_at(
+                packed_d, maskw_d, jnp.int32(start),
+                k=k, n=n, rows=rows,
+                nwords=(n + k - 1 + 15) // 16,
+                mwords=(n + k - 1 + 31) // 32,
+            )
+            self.runs.append(run_keys)
+            self.stats["batches"] += 1
+            start += n
+        self.stats["windows_processed"] += n_windows
+        if sum(rk[0].shape[0] for rk in self.runs) >= \
+                self.cfg.merge_every * self.cfg.batch_windows:
             self._merge()
         self.stats["build_seconds"] += time.perf_counter() - t0
 

@@ -307,6 +307,24 @@ def count_step(packed, maskwords, *, k: int, n: int, rows: int):
     return window_keys(packed, maskwords, k, n, rows)
 
 
+@partial(jax.jit, static_argnames=("k", "n", "rows", "nwords", "mwords"))
+def count_step_at(packed, maskwords, start, *, k: int, n: int, rows: int,
+                  nwords: int, mwords: int):
+    """``count_step`` over a slice of a device-resident packed
+    superbatch.
+
+    The host->device link has ~0.5 s fixed latency per transfer
+    (measured), so the model transfers one large packed superbatch and
+    the per-batch work slices it on device.  ``start`` is the batch's
+    first window position (a multiple of 32, so both the code-word and
+    mask-word offsets are exact); nwords/mwords are the static slice
+    lengths covering n + k - 1 codes.
+    """
+    p = jax.lax.dynamic_slice(packed, (start // 16,), (nwords,))
+    m = jax.lax.dynamic_slice(maskwords, (start // 32,), (mwords,))
+    return window_keys(p, m, k, n, rows)
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def merge_compact(prefix, runs):
     """Concatenate the compacted prefix columns with a list of raw key
