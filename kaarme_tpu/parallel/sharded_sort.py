@@ -1,0 +1,329 @@
+"""Multi-device sharded counting on the sort backend (the flagship path).
+
+Communication-minimal design (contrast with the reference, whose only
+parallelism is threads CAS-ing one shared table — SURVEY.md section 2.2,
+include/parallel_parser.hpp):
+
+- **streaming is pure data parallelism**: every device extracts window
+  keys from its own contiguous span of the input stream (host splits
+  each superbatch into per-device spans with a k-1 halo) and merges them
+  into a device-local distinct (key, count) prefix.  Zero collectives on
+  the hot path.
+- **finalize exchanges only distinct records**: each device routes its
+  compacted records to an owner shard keyed on the top bits of a key
+  hash (uniform even for skewed genomes) via one ``all_to_all`` over the
+  mesh axis, then compacts its received partition.  Communication volume
+  is proportional to the number of distinct k-mers, not to the stream.
+
+After ``finalize_exchange`` the global table is partitioned by hash
+prefix: shard d holds the sorted distinct records whose owner bits are
+d.  The host-side dump concatenates shards and sorts rows for the
+output contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io import fastio
+from ..ops import sortcount
+from ..ops.hashing import hash_words
+from ..utils import codec
+from .sharded import make_mesh
+
+
+@dataclasses.dataclass
+class ShardedSortConfig:
+    k: int
+    mode: int = 2
+    min_abundance: int = 2
+    batch_windows: int = 1 << 22   # windows per device per step (power of two)
+    rows: int = 1 << 11
+    merge_every: int = 4           # per-device batches buffered between merges
+    prefix_cap: int = 1 << 20      # per-device distinct capacity; grows on demand
+
+    def __post_init__(self):
+        if self.k < 2:
+            raise ValueError("k must be >= 2")
+        if self.batch_windows & (self.batch_windows - 1):
+            raise ValueError("batch_windows must be a power of two")
+        if self.rows & (self.rows - 1) or self.rows > self.batch_windows:
+            raise ValueError("rows must be a power of two <= batch_windows")
+
+    @property
+    def words(self) -> int:
+        return codec.words_per_kmer(self.k)
+
+
+class ShardedSortCounter:
+    """Same surface as models.sort_counter.SortKmerCounter, over a mesh."""
+
+    def __init__(self, config: ShardedSortConfig, mesh: Mesh | None = None):
+        self.cfg = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ndev = int(self.mesh.devices.size)
+        w = config.words
+        cap = config.prefix_cap
+        self._sharding2 = NamedSharding(self.mesh, P("d", None))
+        self.prefix = tuple(
+            jax.device_put(jnp.zeros((self.ndev, cap), jnp.uint32), self._sharding2)
+            for _ in range(w)
+        ) + (jax.device_put(jnp.zeros((self.ndev, cap), jnp.int32), self._sharding2),)
+        self.runs = []              # list of key tuples, each (ndev, n) uint32
+        self._carry = np.empty(0, np.uint8)
+        self._pending = []
+        self._pending_n = 0
+        self._exchanged = False
+        self.stats = {"windows_processed": 0, "batches": 0, "compactions": 0,
+                      "grow_events": 0}
+
+        k, n, rows = config.k, config.batch_windows, config.rows
+        nwords = (n + k - 1 + 15) // 16
+        mwords = (n + k - 1 + 31) // 32
+
+        def step_body(packed, maskw):
+            # local block (1, nwords) -> (n,) keys per word
+            keys = sortcount.window_keys(packed[0], maskw[0], k, n, rows)
+            return tuple(x[None, :] for x in keys)
+
+        self._step = jax.jit(jax.shard_map(
+            step_body, mesh=self.mesh,
+            in_specs=(P("d", None), P("d", None)),
+            out_specs=tuple(P("d", None) for _ in range(w)),
+        ))
+
+        def merge_body(prefix, runs):
+            cols = [jnp.concatenate([prefix[i][0]] + [r[i][0] for r in runs])
+                    for i in range(w)]
+            nrun = sum(r[0].shape[1] for r in runs)
+            cnt = jnp.concatenate([prefix[-1][0], jnp.ones((nrun,), jnp.int32)])
+            store, nd = sortcount.compact(tuple(cols) + (cnt,))
+            return tuple(c[None, :] for c in store) + (nd[None],)
+
+        self._merge_fn = merge_body  # jitted lazily per run-count/shape
+
+        def exchange_body(prefix):
+            # route alive records to owner = top hash bits; sentinel-fill
+            keys = [prefix[i][0] for i in range(w)]
+            cnt = prefix[-1][0]
+            p = cnt.shape[0]
+            ndev = jax.lax.axis_size("d")
+            shift = jnp.uint32(32 - (ndev - 1).bit_length()) if ndev > 1 else None
+            h = hash_words(tuple(keys))
+            owner = (h >> shift).astype(jnp.int32) if ndev > 1 else jnp.zeros(
+                (p,), jnp.int32)
+            alive = jnp.minimum(cnt, 1)  # {0,1} int32
+
+            # position within owner bucket (one-hot cumsum; finalize-only)
+            onehot = (owner[:, None] == jnp.arange(ndev, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.int32) * alive[:, None]
+            pos = jnp.cumsum(onehot, axis=0) - 1
+            pos = jnp.take_along_axis(pos, owner[:, None], axis=1)[:, 0]
+
+            idx = jnp.where(alive == 1, owner * p + pos, ndev * p)
+            send_k = [jnp.full((ndev * p,), sortcount.SENTINEL) for _ in range(w)]
+            send_k = [s.at[idx].set(x, mode="drop") for s, x in zip(send_k, keys)]
+            send_c = jnp.zeros((ndev * p,), jnp.int32).at[idx].set(cnt, mode="drop")
+
+            recv = []
+            for arr in send_k + [send_c]:
+                a = arr.reshape(ndev, p)
+                a = jax.lax.all_to_all(a, "d", split_axis=0, concat_axis=0,
+                                       tiled=False)
+                recv.append(a.reshape(ndev * p))
+            store, nd = sortcount.compact(tuple(recv[:w]) + (recv[w],))
+            return tuple(c[None, :] for c in store) + (nd[None],)
+
+        self._exchange = jax.jit(jax.shard_map(
+            exchange_body, mesh=self.mesh,
+            in_specs=(tuple(P("d", None) for _ in range(w + 1)),),
+            out_specs=tuple(P("d", None) for _ in range(w + 1)) + (P("d"),),
+        ))
+
+    # -- streaming ---------------------------------------------------------
+
+    def add_codes(self, codes: np.ndarray):
+        codes = np.asarray(codes, np.uint8)
+        if codes.shape[0] == 0:
+            return
+        self._pending.append(codes)
+        self._pending_n += codes.shape[0]
+        sb = self.ndev * self.cfg.batch_windows
+        while self._carry.shape[0] + self._pending_n >= sb + self.cfg.k - 1:
+            stream = np.concatenate([self._carry] + self._pending)
+            self._pending = [stream[sb:]]
+            self._pending_n = stream.shape[0] - sb
+            self._carry = np.empty(0, np.uint8)
+            self._flush(stream[: sb + self.cfg.k - 1], sb)
+
+    def finish(self):
+        stream = np.concatenate([self._carry] + self._pending) if self._pending \
+            else self._carry
+        self._pending, self._pending_n = [], 0
+        self._carry = np.empty(0, np.uint8)
+        if stream.shape[0] >= self.cfg.k:
+            sb = self.ndev * self.cfg.batch_windows
+            padded = np.full(sb + self.cfg.k - 1, codec.SEP, np.uint8)
+            m = min(stream.shape[0], padded.shape[0])
+            padded[:m] = stream[:m]
+            self._flush(padded, stream.shape[0] - self.cfg.k + 1)
+        self._merge()
+
+    def count_codes(self, codes: np.ndarray):
+        self.add_codes(np.asarray(codes, np.uint8))
+        self.finish()
+        return self
+
+    def count_file(self, path: str, **kw):
+        from ..io import reader as io_reader
+
+        for codes in io_reader.CodeChunkReader(path, **kw):
+            self.add_codes(codes)
+        self.finish()
+        return self
+
+    def _flush(self, stream: np.ndarray, n_real: int):
+        if self._exchanged:
+            raise RuntimeError("cannot add input after finalize")
+        cfg = self.cfg
+        k, n = cfg.k, cfg.batch_windows
+        nwords = (n + k - 1 + 15) // 16
+        mwords = (n + k - 1 + 31) // 32
+        packed = np.zeros((self.ndev, nwords), np.uint32)
+        maskw = np.zeros((self.ndev, mwords), np.uint32)
+        for d in range(self.ndev):
+            span = stream[d * n: (d + 1) * n + k - 1]
+            p, m = fastio.pack_stream(span)
+            packed[d, : p.shape[0]] = p
+            maskw[d, : m.shape[0]] = m
+        packed_d = jax.device_put(jnp.asarray(packed), self._sharding2)
+        maskw_d = jax.device_put(jnp.asarray(maskw), self._sharding2)
+        self.runs.append(self._step(packed_d, maskw_d))
+        self.stats["batches"] += 1
+        self.stats["windows_processed"] += max(n_real, 0)
+        if len(self.runs) >= cfg.merge_every:
+            self._merge()
+
+    # -- merging -----------------------------------------------------------
+
+    _merge_jits: dict = None
+
+    def _merge(self):
+        if not self.runs:
+            return
+        w = self.cfg.words
+        if self._merge_jits is None:
+            self._merge_jits = {}
+        key = (len(self.runs), self.prefix[-1].shape[1])
+        if key not in self._merge_jits:
+            self._merge_jits[key] = jax.jit(jax.shard_map(
+                self._merge_fn, mesh=self.mesh,
+                in_specs=(tuple(P("d", None) for _ in range(w + 1)),
+                          [tuple(P("d", None) for _ in range(w))
+                           for _ in self.runs]),
+                out_specs=tuple(P("d", None) for _ in range(w + 1)) + (P("d"),),
+            ))
+        merged = self._merge_jits[key](self.prefix, self.runs)
+        store, nd = merged[:-1], merged[-1]
+        self.runs = []
+        self._retain(store, int(np.asarray(nd).max()))
+        self.stats["compactions"] += 1
+
+    def _retain(self, store, nd_max: int):
+        """Keep a prefix_cap-sized slice of the merged store (growing the
+        cap first if any shard's distinct count would not fit)."""
+        while nd_max > self.cfg.prefix_cap:
+            self.cfg.prefix_cap *= 2
+            self.stats["grow_events"] += 1
+        cap = self.cfg.prefix_cap
+        total = store[-1].shape[1]
+        if cap <= total:
+            self.prefix = tuple(col[:, :cap] for col in store)
+        else:
+            pad = cap - total
+            self.prefix = tuple(
+                jnp.concatenate(
+                    [col, jnp.zeros((self.ndev, pad), col.dtype)], axis=1)
+                for col in store
+            )
+
+    def finalize_exchange(self):
+        """Route distinct records to hash-prefix owner shards (one
+        all_to_all) and compact each shard's partition."""
+        self._merge()
+        if self._exchanged:
+            return
+        out = self._exchange(self.prefix)
+        store, nd = out[:-1], out[-1]
+        self._retain(store, int(np.asarray(nd).max()))
+        self._exchanged = True
+
+    # -- output ------------------------------------------------------------
+
+    def _clip(self, counts: np.ndarray) -> np.ndarray:
+        if self.cfg.mode == 0:
+            return counts & 0xFFFF
+        return np.minimum(counts, 16383)
+
+    def dump(self):
+        """(keys (N, W) uint32 lexicographically sorted, counts (N,)) of
+        all distinct k-mers across shards."""
+        self.finalize_exchange()
+        w = self.cfg.words
+        cols = [np.asarray(jax.device_get(c)).reshape(-1) for c in self.prefix]
+        cnt = cols[-1].astype(np.int64)
+        alive = cnt > 0
+        keys = np.stack([c[alive] for c in cols[:w]], axis=1)
+        cnt = cnt[alive]
+        order = np.lexsort(tuple(keys[:, i] for i in range(w - 1, -1, -1)))
+        return keys[order], cnt[order]
+
+    def as_dict(self) -> dict:
+        tk, cn = self.dump()
+        cn = self._clip(cn)
+        keep = cn >= self.cfg.min_abundance
+        names = codec.unpack_kmers(tk[keep], self.cfg.k) if keep.any() else []
+        return dict(zip(names, cn[keep].tolist()))
+
+    def write_output(self, path: str) -> int:
+        tk, cn = self.dump()
+        cn = self._clip(cn)
+        keep = cn >= self.cfg.min_abundance
+        tk, cn = tk[keep], cn[keep]
+        n = tk.shape[0]
+        with open(path, "wb") as f:
+            if n:
+                k = self.cfg.k
+                chars = np.empty((n, k), np.uint8)
+                for i in range(k):
+                    chars[:, i] = (tk[:, i // 16] >> np.uint32(30 - 2 * (i % 16))) & np.uint32(3)
+                lut = np.frombuffer(b"ACGT", np.uint8)
+                kmer_b = lut[chars].view(f"S{k}").ravel().astype(object)
+                cnt_b = cn.astype(f"S{len(str(int(cn.max())))}").astype(object)
+                f.write(b"".join((kmer_b + b" " + cnt_b + b"\n").tolist()))
+        return int(n)
+
+    def find(self, kmers) -> list:
+        if isinstance(kmers, str):
+            kmers = [kmers]
+        tk, cn = self.dump()
+        w = self.cfg.words
+        packed = np.zeros((len(kmers), w), np.uint32)
+        ok = np.ones(len(kmers), bool)
+        for i, s in enumerate(kmers):
+            if len(s) != self.cfg.k or any(ch not in "ACGTacgt" for ch in s):
+                ok[i] = False
+                continue
+            packed[i] = codec.pack_kmer(codec.canonical(s.upper()))
+        out = self._clip(sortcount.lookup_sorted(tk, cn, packed))
+        return [int(c) if good else -1 for c, good in zip(out, ok)]
+
+    def occupancy(self):
+        self._merge()
+        cnt = np.asarray(jax.device_get(self.prefix[-1]))
+        return int((cnt > 0).sum()), int(cnt.size)

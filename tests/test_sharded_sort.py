@@ -1,0 +1,80 @@
+"""Sharded sort-backend counter: golden equality over a virtual mesh."""
+
+import numpy as np
+import pytest
+
+from kaarme_tpu.parallel.sharded import make_mesh
+from kaarme_tpu.parallel.sharded_sort import ShardedSortConfig, ShardedSortCounter
+from kaarme_tpu.utils import codec
+
+
+def _counter(k, ndev=8, **kw):
+    kw.setdefault("batch_windows", 1 << 10)
+    kw.setdefault("rows", 1 << 5)
+    kw.setdefault("prefix_cap", 1 << 12)
+    kw.setdefault("min_abundance", 1)
+    return ShardedSortCounter(ShardedSortConfig(k=k, **kw), make_mesh(ndev))
+
+
+def _stream(rng, n, p_sep=0.02):
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    codes[rng.random(n) < p_sep] = 4
+    return codes
+
+
+@pytest.mark.parametrize("k", [13, 31, 51])
+def test_sharded_golden_equality(k):
+    rng = np.random.default_rng(k)
+    codes = _stream(rng, 40000)
+    c = _counter(k).count_codes(codes)
+    assert c.as_dict() == codec.golden_count(codes, k)
+
+
+def test_sharded_matches_single_device():
+    from kaarme_tpu.models.sort_counter import SortCounterConfig, SortKmerCounter
+
+    k = 21
+    rng = np.random.default_rng(1)
+    codes = _stream(rng, 60000, p_sep=0.01)
+    sharded = _counter(k).count_codes(codes).as_dict()
+    single = SortKmerCounter(SortCounterConfig(
+        k=k, batch_windows=1 << 12, rows=1 << 6, prefix_cap=1 << 13,
+        min_abundance=1)).count_codes(codes).as_dict()
+    assert sharded == single
+
+
+def test_sharded_multi_superbatch_and_merge():
+    k = 11
+    rng = np.random.default_rng(2)
+    # > ndev * batch_windows codes so multiple sharded flushes happen
+    codes = _stream(rng, 8 * 1024 * 4 + 4711, p_sep=0.01)
+    c = _counter(k, merge_every=2)
+    for i in range(0, codes.shape[0], 5000):
+        c.add_codes(codes[i : i + 5000])
+    c.finish()
+    assert c.stats["batches"] >= 2
+    assert c.as_dict() == codec.golden_count(codes, k)
+
+
+def test_sharded_find_and_output(tmp_path):
+    k = 15
+    rng = np.random.default_rng(3)
+    codes = _stream(rng, 20000)
+    c = _counter(k).count_codes(codes)
+    g = codec.golden_count(codes, k)
+    some = list(g)[:10]
+    assert c.find(some) == [g[s] for s in some]
+    out = tmp_path / "out.txt"
+    n = c.write_output(str(out))
+    got = {ln.split()[0]: int(ln.split()[1]) for ln in out.read_text().splitlines()}
+    assert len(got) == n and got == g
+
+
+def test_sharded_growth():
+    k = 9
+    rng = np.random.default_rng(4)
+    codes = _stream(rng, 120000, p_sep=0.005)
+    c = _counter(k, prefix_cap=1 << 8)
+    c.count_codes(codes)
+    assert c.stats["grow_events"] >= 1
+    assert c.as_dict() == codec.golden_count(codes, k)
