@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "pipeline, fastest on TPU) or 'table' (batched "
                         "open-addressing probe table) (def. sort)")
     p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
+    p.add_argument("--query", action="store_true",
+                   help="After counting, read k-mers from stdin and print their "
+                        "counts (0 = absent, -1 = malformed) — the reference's "
+                        "interactive point-lookup loop")
     return p
 
 
@@ -161,6 +165,15 @@ def main(argv=None) -> int:
         print(f"Time used for writing k-mers: {counter.stats['write_seconds'] * 1e6:.0f} microseconds")
         print(f"Hash table slots in use: {used}/{cap}")
         print(f"K-mers written: {n}")
+
+    if args.query:
+        # point-lookup loop (reference: source/program_runs.cpp:377-433,
+        # table find API source/kmer_hash_table.cpp:2675-2727)
+        for line in sys.stdin:
+            qk = line.strip()
+            if not qk:
+                continue
+            print(counter.find([qk])[0])
     return 0
 
 

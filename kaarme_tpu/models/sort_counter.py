@@ -261,6 +261,50 @@ class SortKmerCounter:
         out = self._clip(sortcount.lookup_sorted(tk, cn, packed))
         return [int(c) if good else -1 for c, good in zip(out, ok)]
 
+    # -- checkpoint / resume ----------------------------------------------
+    # (the reference is single-shot with no persistence — SURVEY.md
+    # section 5; this framework adds snapshot/restore so long counting
+    # jobs survive preemption)
+
+    def save(self, path: str):
+        """Snapshot the merged distinct set + config to an .npz file."""
+        self._merge()
+        nd = self.n_distinct
+        cols = {f"col{i}": np.asarray(jax.device_get(c[:nd]))
+                for i, c in enumerate(self.prefix)}
+        np.savez_compressed(
+            path, n_distinct=nd, k=self.cfg.k, mode=self.cfg.mode,
+            min_abundance=self.cfg.min_abundance,
+            windows_processed=self.stats["windows_processed"], **cols,
+        )
+
+    @classmethod
+    def load(cls, path: str, config: "SortCounterConfig | None" = None):
+        """Restore a counter from ``save`` output; counting can resume."""
+        z = np.load(path)
+        k = int(z["k"])
+        if config is None:
+            config = SortCounterConfig(
+                k=k, mode=int(z["mode"]), min_abundance=int(z["min_abundance"]),
+            )
+        elif config.k != k:
+            raise ValueError(f"checkpoint is for k={k}, config has k={config.k}")
+        self = cls(config)
+        nd = int(z["n_distinct"])
+        while nd > self.cfg.prefix_cap:
+            self.cfg.prefix_cap *= 2
+        cap = self.cfg.prefix_cap
+        cols = []
+        for i in range(config.words + 1):
+            host = z[f"col{i}"]
+            full = np.zeros(cap, host.dtype)
+            full[:nd] = host
+            cols.append(jnp.asarray(full))
+        self.prefix = tuple(cols)
+        self.n_distinct = nd
+        self.stats["windows_processed"] = int(z["windows_processed"])
+        return self
+
     # -- diagnostics -------------------------------------------------------
 
     def occupancy(self) -> tuple:

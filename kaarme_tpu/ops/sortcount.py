@@ -278,14 +278,14 @@ def compact(store):
     alive = last * (1 - _is_sentinel_i32(s_keys))
     seg = alive * (csum - base)
 
-    # pack alive records (seg > 0) to the front in key order: everything
-    # else becomes a sentinel row and sinks in one more sort
-    smask = jax.lax.bitcast_convert_type((seg - 1) >> 31, jnp.uint32)
-    s_keys = [x | smask for x in s_keys]
-    order2 = tuple(s_keys) + (seg,)
-    s2 = jax.lax.sort(order2, num_keys=len(s_keys))
+    # pack alive records (seg > 0) to the front, preserving key order: a
+    # STABLE sort on the 1-bit dead flag is a stable partition — much
+    # cheaper than re-sorting the full W-word keys
+    dead = (jnp.uint32(1) - jnp.minimum(seg, 1).astype(jnp.uint32))
+    order2 = (dead,) + tuple(s_keys) + (seg,)
+    s2 = jax.lax.sort(order2, num_keys=1, is_stable=True)
     s2 = _B(s2)
-    out_keys, out_cnt = list(s2[:-1]), s2[-1]
+    out_keys, out_cnt = list(s2[1:-1]), s2[-1]
     n_distinct = jnp.sum(jnp.minimum(out_cnt, 1))
     return tuple(out_keys) + (out_cnt,), n_distinct
 
