@@ -102,10 +102,16 @@ def pack_stream_np(codes: np.ndarray):
 
 
 def unpack_stream(packed, maskwords, n: int):
-    """Device-side unpack: (codes uint32 [n], invalid int32 {0,1} [n]).
+    """Device-side unpack: (codes uint32 [n], invalid int32 {0,1} [n])."""
+    codes = unpack_codes(packed, maskwords, n)
+    return codes & jnp.uint32(3), (codes >> jnp.uint32(2)).astype(jnp.int32)
 
-    Invalid positions get code 0 in ``codes`` (their windows are dropped
-    via the sentinel mask, so the code value never matters).
+
+def unpack_codes(packed, maskwords, n: int):
+    """Device-side unpack to ONE uint32 [n] array: code 0..3, or 4 for
+    invalid positions (bit 2 doubles as the invalid flag).  A single
+    materialized array halves the HBM round-trip of the old
+    (codes, invalid) pair — one full-array pass saved per batch.
     """
     x = jnp.stack(
         [(packed >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(16)], axis=1
@@ -113,7 +119,7 @@ def unpack_stream(packed, maskwords, n: int):
     m = jnp.stack(
         [(maskwords >> jnp.uint32(j)) & jnp.uint32(1) for j in range(32)], axis=1
     ).reshape(-1)[:n]
-    return x, m.astype(jnp.int32)
+    return x | (m << jnp.uint32(2))
 
 
 # ---------------------------------------------------------------------------
@@ -174,18 +180,20 @@ def window_keys(packed, maskwords, k: int, n: int, rows: int):
     """
     L = n + k - 1
     cols = n // rows
-    codes, invalid = unpack_stream(packed, maskwords, L)
-    codes, invalid = _B((codes, invalid))
+    codes = unpack_codes(packed, maskwords, L)
+    codes = _B(codes)
 
     def shift(i: int):
-        return jax.lax.slice(codes, (i,), (i + n,)).reshape(rows, cols)
+        plane = jax.lax.slice(codes, (i,), (i + n,)).reshape(rows, cols)
+        return plane & jnp.uint32(3)
 
     keys = list(_B(tuple(_canonical_keys_2d(shift, k))))
 
     # Window validity: window t is bad iff the next invalid position at
     # or after t is < t + k.  next-invalid via reverse cummin; the bad
     # mask becomes an all-ones bitmask through an arithmetic sign-extend
-    # (no boolean tensors).
+    # (no boolean tensors).  invalid flag = code bit 2.
+    invalid = (codes >> jnp.uint32(2)).astype(jnp.int32)
     idx_l = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
     nii = jax.lax.cummin(
         idx_l * invalid + (1 - invalid) * jnp.int32(1 << 30), reverse=True
