@@ -172,7 +172,11 @@ class SortKmerCounter:
         """Merge buffered runs into the compacted distinct prefix."""
         if not self.runs:
             return
-        store, nd = sortcount.merge_compact(self.prefix, self.runs)
+        if self.n_distinct == 0 and self.stats["compactions"] == 0:
+            # empty prefix: runs-only merge (no count payload, no dead rows)
+            store, nd = sortcount.merge_runs_only(self.runs)
+        else:
+            store, nd = sortcount.merge_compact(self.prefix, self.runs)
         nd = int(nd)
         while nd > self.cfg.prefix_cap:
             # distinct set outgrew the prefix: double it (the merge result

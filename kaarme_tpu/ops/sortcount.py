@@ -333,6 +333,31 @@ def count_step_at(packed, maskwords, start, *, k: int, n: int, rows: int,
     return window_keys(p, m, k, n, rows)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def merge_runs_only(runs):
+    """Compact a list of raw key runs with no pre-existing prefix.
+
+    Cheaper than ``merge_compact`` when the distinct store is still
+    empty (every count is an in-batch segment length, so the sort needs
+    no count payload: arity W instead of W+1, and no dead prefix rows).
+    Returns (store columns, n_distinct) like ``merge_compact``.
+    """
+    w = len(runs[0])
+    cols = [jnp.concatenate([r[i] for r in runs]) for i in range(w)]
+    cols = _B(tuple(cols))
+    s = jax.lax.sort(cols, num_keys=w)
+    s = _B(s)
+    s_keys = list(s)
+    seg = _boundary_counts(s_keys)
+    dead = (jnp.uint32(1) - jnp.minimum(seg, 1).astype(jnp.uint32))
+    order2 = (dead,) + tuple(s_keys) + (seg,)
+    s2 = jax.lax.sort(order2, num_keys=1, is_stable=True)
+    s2 = _B(s2)
+    out_keys, out_cnt = list(s2[1:-1]), s2[-1]
+    n_distinct = jnp.sum(jnp.minimum(out_cnt, 1))
+    return tuple(out_keys) + (out_cnt,), n_distinct
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def merge_compact(prefix, runs):
     """Concatenate the compacted prefix columns with a list of raw key
