@@ -92,10 +92,6 @@ def main(argv=None) -> int:
     except (FormatError, OSError) as e:
         print(f"Input file {args.INPUT} is ill-formed: {e}", file=sys.stderr)
         return 1
-    if fmt == "fastq":
-        print("FASTQ input is not supported", file=sys.stderr)
-        return 1
-
     out = args.output_file
     if not out:
         stem = os.path.splitext(os.path.basename(args.INPUT))[0]
@@ -104,7 +100,8 @@ def main(argv=None) -> int:
     if not args.quiet:
         print("Running settings:")
         print(f"  input file:               {os.path.basename(args.INPUT)}")
-        print(f"  input format:             {'FASTA' if fmt == 'fasta' else 'ONE-STR-PER-LINE'}")
+        fmt_name = {"fasta": "FASTA", "fastq": "FASTQ"}.get(fmt, "ONE-STR-PER-LINE")
+        print(f"  input format:             {fmt_name}")
         print(f"  gzip compressed:          {'yes' if gz else 'no'}")
         print(f"  k-mer length:             {args.KLEN}")
         print(f"  min. abundance threshold: {args.min_k_abu}")

@@ -65,6 +65,55 @@ size_t kt_encode_fasta(const uint8_t* in, size_t n, uint8_t* out,
     return o;
 }
 
+// FASTQ input: 4-part records (@header / sequence / '+' line / quality,
+// where sequence and quality may wrap lines and quality bytes can be
+// '@' or '+').  Emits sequence codes with one reset (4) at each record
+// start; all other parts are skipped.  The reference never implemented
+// FASTQ (include/parallel_parser.hpp "Not implemented yet"); this is a
+// capability superset.  State carried across chunks:
+//   *state: 0=header 1=seq 2=seq-at-newline 3=plus-line 4=quality
+//           5=between-records
+//   *seq_len / *qual_len: byte counts of the current record.
+// Returns #codes written (<= n + 1); out must have room for n + 1.
+size_t kt_encode_fastq(const uint8_t* in, size_t n, uint8_t* out,
+                       int* state, long long* seq_len, long long* qual_len) {
+    size_t o = 0;
+    int st = *state;
+    long long sl = *seq_len, ql = *qual_len;
+    for (size_t i = 0; i < n; ++i) {
+        const uint8_t b = in[i];
+        switch (st) {
+            case 0:  // header line: skip to newline, then reset + sequence
+                if (b == '\n') { st = 1; sl = 0; ql = 0; out[o++] = 4; }
+                break;
+            case 1:  // sequence
+                if (b == '\n') { st = 2; }
+                else { out[o++] = kLut.t[b]; ++sl; }
+                break;
+            case 2:  // after a sequence newline: '+' ends the sequence part
+                if (b == '+') { st = 3; }
+                else if (b == '\n') { /* blank line inside sequence */ }
+                else { st = 1; out[o++] = kLut.t[b]; ++sl; }
+                break;
+            case 3:  // '+' line: skip to newline
+                if (b == '\n') { st = 4; }
+                break;
+            case 4:  // quality: count bytes (may include '@'/'+')
+                if (b == '\n') { if (ql >= sl) st = 5; }
+                else { ++ql; }
+                break;
+            case 5:  // between records: next '@' (or any line) is a header
+                if (b == '\n') { /* skip blank */ }
+                else { st = 0; }
+                break;
+        }
+    }
+    *state = st;
+    *seq_len = sl;
+    *qual_len = ql;
+    return o;
+}
+
 // Pack a {0..4} code stream for device transfer: 16 bases per uint32
 // word (base i at bits 2*(i%16)), plus an invalid bitmap (bit i of mask
 // word i/32 set when code >= 4).  Invalid positions contribute 0 bits to

@@ -36,6 +36,11 @@ def _build_and_load():
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.kt_pack_codes.argtypes = [u8p, ctypes.c_size_t, u32p, u32p]
     lib.kt_pack_codes.restype = None
+    lib.kt_encode_fastq.argtypes = [
+        u8p, ctypes.c_size_t, u8p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.kt_encode_fastq.restype = ctypes.c_size_t
     return lib
 
 
@@ -94,6 +99,29 @@ def _pool():
 
         _PACK_POOL = ThreadPoolExecutor(max_workers=os.cpu_count() or 4)
     return _PACK_POOL
+
+
+def encode_fastq(buf, state=None):
+    """FASTQ chunk -> codes; ``state`` carries the parser across chunks."""
+    from ..utils import codec
+
+    if state is None:
+        state = codec.FASTQ_STATE0
+    lib = get_lib()
+    if lib is None:
+        return codec.encode_fastq(buf, state)
+    a = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
+    out = np.empty(a.shape[0] + 1, np.uint8)
+    st = ctypes.c_int(state[0])
+    sl = ctypes.c_longlong(state[1])
+    ql = ctypes.c_longlong(state[2])
+    n = 0
+    if a.shape[0]:
+        n = lib.kt_encode_fastq(
+            _u8ptr(np.ascontiguousarray(a)), a.shape[0], _u8ptr(out),
+            ctypes.byref(st), ctypes.byref(sl), ctypes.byref(ql),
+        )
+    return out[:n], (st.value, sl.value, ql.value)
 
 
 def pack_stream(codes: np.ndarray):

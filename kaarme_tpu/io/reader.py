@@ -33,8 +33,9 @@ class FormatError(ValueError):
 def sniff_format(path: str):
     """Returns (fmt, gzipped) with fmt in {'fasta', 'fastq', 'plain'}.
 
-    FASTQ is detected but rejected downstream, matching the reference
-    (include/parallel_parser.hpp:1217-1225 'Not implemented yet').
+    Unlike the reference — which detects FASTQ but rejects it
+    (include/parallel_parser.hpp:1217-1225 'Not implemented yet') — this
+    framework counts FASTQ directly (sequence lines only).
     """
     with open(path, "rb") as f:
         magic = f.read(2)
@@ -61,14 +62,13 @@ class CodeChunkReader:
         self.chunk_bytes = int(chunk_bytes)
         if fmt is None or gzipped is None:
             fmt, gzipped = sniff_format(path)
-        if fmt == "fastq":
-            raise FormatError("FASTQ input is not supported (matching the reference)")
         self.fmt = fmt
         self.gzipped = gzipped
 
     def __iter__(self):
         opener = gzip.open if self.gzipped else open
         in_header = False
+        fq_state = None
         with opener(self.path, "rb") as f:
             while True:
                 buf = f.read(self.chunk_bytes)
@@ -76,6 +76,8 @@ class CodeChunkReader:
                     break
                 if self.fmt == "fasta":
                     codes, in_header = fastio.encode_fasta(buf, in_header)
+                elif self.fmt == "fastq":
+                    codes, fq_state = fastio.encode_fastq(buf, fq_state)
                 else:
                     codes = fastio.encode_plain(buf)
                 if codes.shape[0]:

@@ -88,6 +88,58 @@ def encode_fasta(buf, prev_in_header: bool = False):
     return out, bool(in_header[-1])
 
 
+FASTQ_STATE0 = (0, 0, 0)  # (state, seq_len, qual_len) at stream start
+
+
+def encode_fastq(buf, state=FASTQ_STATE0):
+    """Encode a FASTQ buffer chunk (pure-Python fallback; the C++ state
+    machine in io/_fastio.cpp is the fast path — semantics identical).
+
+    Returns (codes, state) where state carries (parser state, seq bytes,
+    qual bytes) across chunk boundaries.  The reference never implemented
+    FASTQ (include/parallel_parser.hpp "Not implemented yet"); this
+    framework supports it as a capability superset.
+    """
+    a = _as_u8(buf)
+    st, sl, ql = state
+    out = np.empty(a.shape[0] + 1, np.uint8)
+    o = 0
+    for b in a.tolist():
+        if st == 0:          # header line
+            if b == 0x0A:
+                st, sl, ql = 1, 0, 0
+                out[o] = 4
+                o += 1
+        elif st == 1:        # sequence
+            if b == 0x0A:
+                st = 2
+            else:
+                out[o] = BASE_LUT[b]
+                o += 1
+                sl += 1
+        elif st == 2:        # sequence, just after newline
+            if b == 0x2B:    # '+'
+                st = 3
+            elif b != 0x0A:
+                st = 1
+                out[o] = BASE_LUT[b]
+                o += 1
+                sl += 1
+        elif st == 3:        # '+' line
+            if b == 0x0A:
+                st = 4
+        elif st == 4:        # quality
+            if b == 0x0A:
+                if ql >= sl:
+                    st = 5
+            else:
+                ql += 1
+        else:                # between records
+            if b != 0x0A:
+                st = 0
+    return out[:o].copy(), (st, sl, ql)
+
+
 def decode_codes(codes: np.ndarray) -> str:
     """Codes {0..4} -> string over ACGTN (4 -> 'N')."""
     lut = np.frombuffer(CODE_TO_BASE.encode(), dtype=np.uint8)
