@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="After counting, read k-mers from stdin and print their "
                         "counts (0 = absent, -1 = malformed) — the reference's "
                         "interactive point-lookup loop")
+    p.add_argument("--histo", default="",
+                   help="Also write a k-mer abundance spectrum (count -> #distinct "
+                        "k-mers, one 'COUNT N' line each) to this file")
     return p
 
 
@@ -126,6 +129,22 @@ def main(argv=None) -> int:
             min_abundance=args.min_k_abu,
         )
         counter = bloom_count_file(cfg, args.INPUT, prefetch=max(1, args.threads - 2))
+    elif args.devices > 1:
+        from .parallel.sharded import make_mesh
+        from .parallel.sharded_sort import ShardedSortConfig, ShardedSortCounter
+
+        est = max(os.path.getsize(args.INPUT), 1)
+        blog2 = max(10, min(22, (est // args.devices - 1).bit_length()))
+        cfg = ShardedSortConfig(
+            k=args.KLEN,
+            mode=args.hash_table_type,
+            min_abundance=args.min_k_abu,
+            batch_windows=1 << blog2,
+            rows=1 << (blog2 // 2),
+            prefix_cap=1 << max(10, min(20, blog2)),
+        )
+        counter = ShardedSortCounter(cfg, make_mesh(args.devices))
+        counter.count_file(args.INPUT)
     elif args.backend == "sort":
         from .models.sort_counter import SortCounterConfig, SortKmerCounter
 
@@ -156,10 +175,20 @@ def main(argv=None) -> int:
     build_s = time.perf_counter() - t0
 
     n = counter.write_output(out)
+    if args.histo:
+        import numpy as np
+
+        _, cn = counter.dump()
+        cn = counter._clip(cn)
+        spec = np.bincount(cn[cn > 0])
+        with open(args.histo, "w") as f:
+            for c in np.nonzero(spec)[0]:
+                if c > 0:
+                    f.write(f"{c} {spec[c]}\n")
     used, cap = counter.occupancy()
     if not args.quiet:
         print(f"Time used for hash table construction: {build_s * 1e6:.0f} microseconds")
-        print(f"Time used for writing k-mers: {counter.stats['write_seconds'] * 1e6:.0f} microseconds")
+        print(f"Time used for writing k-mers: {counter.stats.get('write_seconds', 0.0) * 1e6:.0f} microseconds")
         print(f"Hash table slots in use: {used}/{cap}")
         print(f"K-mers written: {n}")
 

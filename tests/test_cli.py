@@ -52,3 +52,30 @@ def test_cli_output_option_and_banner(tmp_path, capsys):
     assert "Running settings:" in captured
     assert "FASTA" in captured
     assert out.exists()
+
+
+def test_cli_devices_sharded(tmp_path, monkeypatch):
+    """--devices routes through the sharded sort counter (virtual mesh)."""
+    p = _write_fasta(tmp_path, seed=3, n=2000)
+    out = tmp_path / "sharded.out"
+    rc = cli.main([str(p), "9", "-s", "4096", "-a", "1", "-q",
+                   "--devices", "8", "-o", str(out)])
+    assert rc == 0
+    golden = codec.golden_count(io_reader.read_codes(str(p)), 9)
+    got = {ln.split()[0]: int(ln.split()[1]) for ln in out.read_text().splitlines()}
+    assert got == golden
+
+
+def test_cli_histo(tmp_path):
+    p = _write_fasta(tmp_path, seed=4, n=1500)
+    out = tmp_path / "h.out"
+    histo = tmp_path / "h.histo"
+    rc = cli.main([str(p), "7", "-s", "4096", "-a", "1", "-q",
+                   "-o", str(out), "--histo", str(histo)])
+    assert rc == 0
+    golden = codec.golden_count(io_reader.read_codes(str(p)), 7)
+    import collections
+    spec = collections.Counter(golden.values())
+    got = {int(a): int(b) for a, b in
+           (ln.split() for ln in histo.read_text().splitlines())}
+    assert got == dict(spec)
