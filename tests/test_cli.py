@@ -79,3 +79,20 @@ def test_cli_histo(tmp_path):
     got = {int(a): int(b) for a, b in
            (ln.split() for ln in histo.read_text().splitlines())}
     assert got == dict(spec)
+
+
+def test_cli_bloom_sort_backend_matches_table(tmp_path):
+    """-b on the default sort backend: same output contract as the full
+    two-pass Bloom machinery (singletons never reported)."""
+    p = _write_fasta(tmp_path, seed=5, n=3000)
+    a = tmp_path / "a.out"
+    b = tmp_path / "b.out"
+    assert cli.main([str(p), "9", "-b", "-u", "2000", "-q", "-o", str(a)]) == 0
+    assert cli.main([str(p), "9", "-b", "-u", "2000", "-q", "-o", str(b),
+                     "--backend", "table"]) == 0
+    eq, diffs = compare.compare_count_files(str(a), str(b))
+    assert eq, diffs
+    golden = codec.golden_count(io_reader.read_codes(str(p)), 9)
+    want = {s: c for s, c in golden.items() if c >= 2}
+    got = {ln.split()[0]: int(ln.split()[1]) for ln in a.read_text().splitlines()}
+    assert got == want
