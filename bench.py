@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--batch-log2", type=int, default=24)
     ap.add_argument("--rows-log2", type=int, default=12)
     ap.add_argument("--merge-every", type=int, default=4)
+    ap.add_argument("--prefix-log2", type=int, default=22,
+                    help="initial distinct-store capacity (log2); size above "
+                         "the expected distinct count to avoid growth recompiles")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
@@ -70,7 +73,8 @@ def main():
     def run_once():
         cfg = SortCounterConfig(
             k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
-            merge_every=args.merge_every, prefix_cap=1 << 22, min_abundance=2,
+            merge_every=args.merge_every, prefix_cap=1 << args.prefix_log2,
+            min_abundance=2,
         )
         c = SortKmerCounter(cfg)
         t0 = time.perf_counter()

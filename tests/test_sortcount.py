@@ -178,3 +178,18 @@ def test_file_pipeline(tmp_path):
             km = codec.canonical(s[i : i + k])
             golden[km] = golden.get(km, 0) + 1
     assert c.as_dict() == golden
+
+
+def test_sort_backend_matches_table_backend():
+    """Cross-backend oracle check: the sort pipeline and the batched
+    probe-table pipeline produce identical count multisets."""
+    from kaarme_tpu.models.counter import CounterConfig, KmerCounter
+
+    k = 13
+    rng = np.random.default_rng(42)
+    codes = _random_stream(rng, 20000, p_sep=0.01)
+    srt = _counter(k).count_codes(codes).as_dict()
+    tbl = KmerCounter(CounterConfig(
+        k=k, min_slots=1 << 15, tile=1 << 10, batch_tiles=4,
+        min_abundance=1)).count_codes(codes).as_dict()
+    assert srt == tbl
