@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch-log2", type=int, default=24)
     ap.add_argument("--rows-log2", type=int, default=12)
-    ap.add_argument("--merge-every", type=int, default=4)
+    ap.add_argument("--merge-every", type=int, default=2)
     ap.add_argument("--prefix-log2", type=int, default=22,
                     help="initial distinct-store capacity (log2); size above "
                          "the expected distinct count to avoid growth recompiles")

@@ -11,11 +11,15 @@ Layout
 - ``utils``    host-side 2-bit codec, FASTA stripping, golden oracle, math
 - ``io``       chunked / gzip streaming readers with k-1 overlap carry,
                C++ fast encoder (ctypes)
-- ``ops``      device kernels: canonical window extraction, hashing,
-               HBM open-addressing count table, two-stage Bloom filter
-- ``parallel`` device-mesh sharding: hash-prefix table shards + all_to_all
-               routing of (key, count) partials
-- ``models``   end-to-end counter pipelines (plain / kaarme / bloom modes)
+- ``ops``      device kernels: sort-backend counting (flagship:
+               canonical windows -> global sort -> segment-reduce),
+               Pallas window kernel, probe-table backend, hashing,
+               two-stage Bloom filter
+- ``parallel`` device-mesh sharding: data-parallel streaming + hash-prefix
+               all_to_all exchange of distinct records (sort backend),
+               plus the sharded probe-table variant
+- ``models``   end-to-end counter pipelines (sort / table / bloom;
+               plain / kaarme output modes; checkpoint-resume)
 - ``cli``      command-line interface mirroring the reference's surface
 """
 

@@ -36,7 +36,12 @@ class SortCounterConfig:
     min_abundance: int = 2
     batch_windows: int = 1 << 24   # windows per device step (power of two)
     rows: int = 1 << 12            # 2D working layout rows (power of two <= batch)
-    merge_every: int = 4           # full-batch equivalents buffered between merges
+    merge_every: int = 2           # full-batch equivalents buffered between
+                                   # merges; ALSO caps merge peak memory at
+                                   # ~(prefix + 2 batches) x 12 generations
+                                   # (larger merges thrash the ~8 GB usable
+                                   # HBM on the target chip — measured 5x
+                                   # slowdown at 100M-row merges)
     superbatch_batches: int = 4    # device batches per host->device transfer
     prefix_cap: int = 1 << 22      # distinct-record prefix capacity; grows on demand
     min_slots: int = 0             # reference -s compat: initial prefix sizing
