@@ -193,3 +193,14 @@ def test_sort_backend_matches_table_backend():
         k=k, min_slots=1 << 15, tile=1 << 10, batch_tiles=4,
         min_abundance=1)).count_codes(codes).as_dict()
     assert srt == tbl
+
+
+@pytest.mark.parametrize("k", [101, 201])
+def test_long_kmers(k):
+    """Long k-mers (the reference's headline use case): multi-word keys
+    far beyond 64 bases."""
+    rng = np.random.default_rng(k)
+    codes = _random_stream(rng, 2500, p_sep=0.01)
+    c = _counter(k, batch_windows=1 << 11, rows=1 << 5, prefix_cap=1 << 12)
+    c.count_codes(codes)
+    assert c.as_dict() == codec.golden_count(codes, k)
