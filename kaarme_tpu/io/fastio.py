@@ -1,8 +1,12 @@
 """ctypes binding for the native encoder, with transparent NumPy fallback.
 
-Compiles ``_fastio.cpp`` with g++ on first use (cached next to the
-source); if the toolchain is unavailable the pure-NumPy encoders in
-``utils.codec`` are used instead — same semantics, tested for equality.
+The native piece of the host input runtime — the counterpart of the
+reference's C++ byte-level parsing loops (reference:
+include/parallel_parser.hpp hash_kmers character handling,
+source/functions_strings.cpp:56-70 char2int).  Compiles ``_fastio.cpp``
+with g++ on first use (cached next to the source); if the toolchain is
+unavailable the pure-NumPy encoders in ``utils.codec`` are used
+instead — same semantics, tested for equality.
 """
 
 from __future__ import annotations
