@@ -177,7 +177,18 @@ class SortKmerCounter:
         """Merge buffered runs into the compacted distinct prefix."""
         if not self.runs:
             return
-        if self.n_distinct == 0 and self.stats["compactions"] == 0:
+        first = self.n_distinct == 0 and self.stats["compactions"] == 0
+        # count embedding: the trailing key word's free low bits must hold
+        # the clamp ceiling plus this merge's whole row count
+        eb = sortcount.embed_bits(self.cfg.k)
+        run_rows = sum(r[0].shape[0] for r in self.runs)
+        if eb and (1 << 21) + run_rows < (1 << eb):
+            if first:
+                store, nd = sortcount.merge_runs_only_embedded(self.runs, ebits=eb)
+            else:
+                store, nd = sortcount.merge_compact_embedded(
+                    self.prefix, self.runs, ebits=eb)
+        elif first:
             # empty prefix: runs-only merge (no count payload, no dead rows)
             store, nd = sortcount.merge_runs_only(self.runs)
         else:

@@ -333,6 +333,91 @@ def count_step_at(packed, maskwords, start, *, k: int, n: int, rows: int,
     return window_keys(p, m, k, n, rows)
 
 
+def embed_bits(k: int) -> int:
+    """Free low bits in the (left-aligned) trailing key word."""
+    r = k % 16
+    return 2 * (16 - r) if r else 0
+
+
+def _compact_embedded(cols, ebits: int):
+    """Compact W columns whose last column carries the count in its low
+    ``ebits`` bits (the trailing key word is left-aligned, so for
+    k % 16 in {1,2,3} there are >= 26 spare bits — enough for the count
+    clamp plus a full merge's row count).  Embedding removes the count
+    payload from both sorts: arity W instead of W+1, and the stable
+    partition carries W+1 columns instead of W+2.
+
+    Rows with all-ones in every column are sentinels; zero rows (cnt 0)
+    merge harmlessly.  Returns (store columns with counts split back
+    out, n_distinct) in the standard store format.
+    """
+    w = len(cols)
+    cmask = jnp.uint32((1 << ebits) - 1)
+
+    s = jax.lax.sort(tuple(cols), num_keys=w)
+    s = _B(s)
+    s_keys = list(s[:-1])
+    s_cnt = (s[-1] & cmask).astype(jnp.int32)
+    s_last = s[-1] & ~cmask
+
+    big = jnp.int32(1 << 20)
+    s_cnt = jnp.where(s_cnt > big, big + (s_cnt & (big - 1)), s_cnt)
+
+    marks_keys = s_keys + [s_last]
+    idx, first, last = _segment_marks(marks_keys)
+
+    csum = jnp.cumsum(s_cnt)
+    csum = _B(csum)
+    prev = jnp.roll(csum, 1) * jnp.minimum(idx, 1)
+    base = jax.lax.cummax(first * prev)
+    base = _B(base)
+    # sentinel: all words all-ones once the count bits are ignored
+    acc = s_last | cmask
+    for x in s_keys:
+        acc = acc & x
+    alive = last * _nz(acc ^ SENTINEL)
+    seg = alive * (csum - base)
+
+    # stable partition on the dead flag; dead rows become sentinels
+    smask = jax.lax.bitcast_convert_type((seg - 1) >> 31, jnp.uint32)
+    dead = (smask & jnp.uint32(1))
+    out_cols = [x | smask for x in s_keys] + [(s_last | seg.astype(jnp.uint32)) | smask]
+    s2 = jax.lax.sort((dead,) + tuple(out_cols), num_keys=1, is_stable=True)
+    s2 = _B(s2)
+    d2, out = s2[0], list(s2[1:])
+    alive2 = (jnp.int32(1) - d2.astype(jnp.int32))
+    out_cnt = (out[-1] & cmask).astype(jnp.int32) * alive2
+    # split the count back out; dead rows revert to all-ones sentinels
+    out_last = (out[-1] & ~cmask) | (jnp.uint32(0) - d2)
+    n_distinct = jnp.sum(alive2)
+    return tuple(out[:-1]) + (out_last, out_cnt), n_distinct
+
+
+@partial(jax.jit, static_argnames=("ebits",), donate_argnums=(0, 1))
+def merge_compact_embedded(prefix, runs, *, ebits: int):
+    """merge_compact with counts embedded in the trailing key word
+    (see _compact_embedded; model layer gates eligibility by k and the
+    total merge mass)."""
+    w = len(prefix) - 1
+    cols = [
+        jnp.concatenate([prefix[i]] + [r[i] for r in runs]) for i in range(w - 1)
+    ]
+    last = jnp.concatenate(
+        [prefix[w - 1] | prefix[-1].astype(jnp.uint32)]
+        + [r[w - 1] | jnp.uint32(1) for r in runs]
+    )
+    return _compact_embedded(cols + [last], ebits)
+
+
+@partial(jax.jit, static_argnames=("ebits",), donate_argnums=(0,))
+def merge_runs_only_embedded(runs, *, ebits: int):
+    """merge_runs_only with embedded unit counts."""
+    w = len(runs[0])
+    cols = [jnp.concatenate([r[i] for r in runs]) for i in range(w - 1)]
+    last = jnp.concatenate([r[w - 1] | jnp.uint32(1) for r in runs])
+    return _compact_embedded(cols + [last], ebits)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def merge_runs_only(runs):
     """Compact a list of raw key runs with no pre-existing prefix.
