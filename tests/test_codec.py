@@ -81,3 +81,18 @@ def test_pack_order_matches_lexicographic():
     order_str = sorted(range(50), key=lambda i: kmers[i])
     order_num = sorted(range(50), key=lambda i: packed[i])
     assert order_str == order_num
+
+
+def test_prefetching_reader_propagates_errors(tmp_path):
+    """Producer-thread exceptions must surface to the consumer."""
+    import pytest as _pytest
+
+    from kaarme_tpu.io.reader import PrefetchingReader
+
+    def boom():
+        yield __import__("numpy").zeros(4, "uint8")
+        raise RuntimeError("producer failed")
+
+    r = PrefetchingReader(boom(), depth=2)
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        list(r)

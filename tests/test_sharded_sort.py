@@ -78,3 +78,14 @@ def test_sharded_growth():
     c.count_codes(codes)
     assert c.stats["grow_events"] >= 1
     assert c.as_dict() == codec.golden_count(codes, k)
+
+
+def test_sharded_add_after_finalize_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    c = _counter(9)
+    c.count_codes(np.zeros(2000, np.uint8))
+    c.dump()  # triggers finalize_exchange
+    with _pytest.raises(RuntimeError):
+        c.add_codes(np.zeros(9000, np.uint8))
