@@ -45,8 +45,10 @@ def main():
     ap.add_argument("--genome-mb", type=float, default=4.6)
     ap.add_argument("--coverage", type=int, default=8)
     ap.add_argument("--read-len", type=int, default=150)
-    ap.add_argument("--batch-log2", type=int, default=24)
+    ap.add_argument("--batch-log2", type=int, default=23)
     ap.add_argument("--rows-log2", type=int, default=12)
+    ap.add_argument("--superbatch", type=int, default=4,
+                    help="device batches fused per superstep dispatch")
     ap.add_argument("--merge-every", type=int, default=2)
     ap.add_argument("--prefix-log2", type=int, default=22,
                     help="initial distinct-store capacity (log2); size above "
@@ -73,7 +75,8 @@ def main():
     def run_once():
         cfg = SortCounterConfig(
             k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
-            merge_every=args.merge_every, prefix_cap=1 << args.prefix_log2,
+            merge_every=args.merge_every, superbatch_batches=args.superbatch,
+            prefix_cap=1 << args.prefix_log2,
             min_abundance=2,
         )
         c = SortKmerCounter(cfg)

@@ -74,6 +74,12 @@ def validate(args) -> str:
         return "-t/--threads must be in [3, 64]"
     if not (0.001 <= args.bfilter_fpr <= 0.999):
         return "-f/--bfilter-fpr must be in [0.001, 0.999]"
+    # reject silently-ignored flag combinations instead of overriding by
+    # dispatch order (the sharded path has no table backend or Bloom pass)
+    if args.devices > 1 and args.backend == "table":
+        return "--backend table does not support --devices; use the sort backend"
+    if args.devices > 1 and args.use_bfilter:
+        return "-b/--use-bfilter does not support --devices yet"
     if not os.path.isfile(args.INPUT):
         return f"input file {args.INPUT} does not exist"
     return ""
@@ -216,12 +222,32 @@ def main(argv=None) -> int:
 
     if args.query:
         # point-lookup loop (reference: source/program_runs.cpp:377-433,
-        # table find API source/kmer_hash_table.cpp:2675-2727)
+        # table find API source/kmer_hash_table.cpp:2675-2727).
+        # Dump the table ONCE and binary-search per line — find() would
+        # re-fetch the whole store per query.
+        import numpy as np
+
+        from .utils import codec as _codec
+
+        tk, cn = counter.dump()
+        if tk.shape[0]:
+            # sort once (the table backend dumps slot order) so each query
+            # is a binary search instead of a full-store fetch
+            order = np.lexsort(
+                tuple(tk[:, i] for i in range(tk.shape[1] - 1, -1, -1)))
+            tk, cn = tk[order], cn[order]
         for line in sys.stdin:
             qk = line.strip()
             if not qk:
                 continue
-            print(counter.find([qk])[0])
+            if len(qk) != args.KLEN or any(ch not in "ACGTacgt" for ch in qk):
+                print(-1)
+                continue
+            from .ops import sortcount as _sc
+
+            q = _codec.pack_kmer(_codec.canonical(qk.upper()))[None, :]
+            c = _sc.lookup_sorted(tk, cn, q.astype(np.uint32))[0]
+            print(int(counter._clip(np.asarray([c], np.int64))[0]))
     return 0
 
 

@@ -1,12 +1,15 @@
 """Streaming canonical k-mer counter on the sort-based device backend.
 
 The flagship pipeline (see ops/sortcount.py for the kernel design): the
-host packs the encoded code stream 2-bit + validity bitmap (3.2x fewer
-transfer bytes than raw codes — the host->device link is the scarce
-resource), the device turns each fixed-size batch into a sorted
-(key, count) run, runs accumulate as separate device arrays, and every
-``merge_every`` batches (and at finalize) the runs are merged with the
-compacted prefix of distinct records (concat + sort + segment-sum).
+host packs the encoded code stream to 2 bits/base plus a sparse
+separator-index list, ships one superbatch per transfer, and the device
+runs ONE fused "superstep" per superbatch — unpack -> canonical window
+keys -> merge with the compacted distinct prefix — in a single
+dispatch.  Measured motivation (scripts/profile_dispatch.py): each
+dispatch through this backend costs ~26 ms fixed, and transfers
+(~45 MB/s) overlap fully with device compute, so the host packs and
+ships superbatch s+1 while superstep s runs and only then blocks on
+superstep s's distinct count.
 
 Same user surface as models.counter.KmerCounter (the probe-table
 backend): add_codes/finish/count_file/as_dict/write_output/find.
@@ -34,15 +37,14 @@ class SortCounterConfig:
     k: int
     mode: int = 2                  # 0 = plain, 2 = kaarme (output clipping)
     min_abundance: int = 2
-    batch_windows: int = 1 << 24   # windows per device step (power of two)
+    batch_windows: int = 1 << 23   # windows per device batch (power of two)
     rows: int = 1 << 12            # 2D working layout rows (power of two <= batch)
-    merge_every: int = 2           # full-batch equivalents buffered between
-                                   # merges; ALSO caps merge peak memory at
-                                   # ~(prefix + 2 batches) x 12 generations
-                                   # (larger merges thrash the ~8 GB usable
-                                   # HBM on the target chip — measured 5x
-                                   # slowdown at 100M-row merges)
-    superbatch_batches: int = 4    # device batches per host->device transfer
+    merge_every: int = 2           # retained for config compat; the fused
+                                   # superstep merges once per superbatch
+    superbatch_batches: int = 4    # device batches fused per superstep; the
+                                   # superstep's merge sorts superbatch+prefix
+                                   # rows, so this also caps peak HBM (~32M
+                                   # windows + prefix x ~10 generations)
     prefix_cap: int = 1 << 22      # distinct-record prefix capacity; grows on demand
     min_slots: int = 0             # reference -s compat: initial prefix sizing
 
@@ -65,11 +67,20 @@ class SortCounterConfig:
     def words(self) -> int:
         return codec.words_per_kmer(self.k)
 
-    def tail_size(self, r: int) -> int:
-        """Smallest power-of-two batch (>= rows, <= batch_windows) that
-        holds r windows — bounds padding waste on the final batch."""
-        t = max(self.rows, 1 << (max(r, 1) - 1).bit_length(), 32)
-        return min(t, self.batch_windows)
+    @property
+    def superstep_windows(self) -> int:
+        return self.batch_windows * self.superbatch_batches
+
+    def tail_windows(self, r: int) -> int:
+        """Smallest multiple of ``rows`` that holds r windows — bounds
+        padding on the final (tail) superstep to < one row-block."""
+        return min(-(-max(r, 1) // self.rows) * self.rows, self.superstep_windows)
+
+    def sep_budget(self, n: int) -> int:
+        """Sparse separator-index capacity shipped per superstep: n/32
+        covers any read length >= 31; denser separator streams fall back
+        to the dense-bitmap superstep variant."""
+        return max(n // 32, 32)
 
 
 class SortKmerCounter:
@@ -79,10 +90,13 @@ class SortKmerCounter:
         self.cfg = config
         self.prefix = sortcount.make_store(config.prefix_cap, config.words)
         self.n_distinct = 0
-        self.runs = []          # buffered raw key-tuple device runs
         self._carry = np.empty(0, np.uint8)
-        self._pending = []      # encoded chunks awaiting a full batch
+        self._pending = []      # encoded chunks awaiting a full superbatch
         self._pending_n = 0
+        # in-flight superstep: (new_prefix, nd_handle, replay) where
+        # replay = (packed_d, sep_d, n, dense, old_prefix) is kept until
+        # the distinct count is verified to fit the capacity
+        self._inflight = None
         self.stats = {
             "windows_processed": 0,
             "batches": 0,
@@ -100,7 +114,7 @@ class SortKmerCounter:
             return
         self._pending.append(codes)
         self._pending_n += codes.shape[0]
-        sb = self.cfg.superbatch_batches * self.cfg.batch_windows
+        sb = self.cfg.superstep_windows
         while self._carry.shape[0] + self._pending_n >= sb + self.cfg.k - 1:
             stream = np.concatenate([self._carry] + self._pending)
             self._pending = [stream[sb:]]
@@ -109,14 +123,15 @@ class SortKmerCounter:
             self._process_stream(stream[: sb + self.cfg.k - 1], sb)
 
     def finish(self):
-        """Process the remaining tail (padded with separators) and merge."""
+        """Process the remaining tail (padded with separators) and drain
+        the in-flight superstep."""
         stream = np.concatenate([self._carry] + self._pending) if self._pending \
             else self._carry
         self._pending, self._pending_n = [], 0
         self._carry = np.empty(0, np.uint8)
         if stream.shape[0] >= self.cfg.k:
             self._process_stream(stream, stream.shape[0] - self.cfg.k + 1)
-        self._merge()
+        self._drain()
 
     def count_codes(self, codes: np.ndarray):
         self.add_codes(np.asarray(codes, np.uint8))
@@ -136,81 +151,87 @@ class SortKmerCounter:
     # -- device steps ------------------------------------------------------
 
     def _process_stream(self, stream: np.ndarray, n_windows: int):
-        """Pack + transfer one superbatch, then slice device batches off
-        it.  One big transfer amortizes the link's ~0.5 s fixed latency;
-        the final batch shrinks to a power-of-two (tail_size) so padding
-        never exceeds ~50% of one tail batch."""
+        """Pack one superbatch, ship it, drain the PREVIOUS superstep,
+        then dispatch this one.  The host pack + transfer of superbatch
+        s+1 happen while superstep s runs on device (transfers overlap
+        compute on this backend — scripts/profile_transfer.py), so the
+        only serialized host work is the ~26 ms dispatch itself."""
         t0 = time.perf_counter()
         cfg = self.cfg
         k = cfg.k
-        n_full, r = divmod(n_windows, cfg.batch_windows)
-        tail = cfg.tail_size(r) if r else 0
-        # the packed buffer must cover the last batch's halo + padding
-        need = n_full * cfg.batch_windows + (tail if tail else 0) + k - 1
+        n = n_windows if n_windows == cfg.superstep_windows \
+            else cfg.tail_windows(n_windows)
+        need = n + k - 1
         if stream.shape[0] < need:
             stream = np.concatenate(
                 [stream, np.full(need - stream.shape[0], codec.SEP, np.uint8)]
             )
-        packed, maskw = fastio.pack_stream(stream)
-        packed_d, maskw_d = jnp.asarray(packed), jnp.asarray(maskw)
+        stream = stream[:need]
+        packed, _maskw = fastio.pack_stream(stream)
+        seps = np.flatnonzero(stream >= 4).astype(np.uint32)
+        budget = cfg.sep_budget(n)
+        if seps.shape[0] <= budget:
+            sep = np.full(budget, need, np.uint32)  # out-of-range pad
+            sep[: seps.shape[0]] = seps
+            dense = False
+        else:
+            sep, dense = _maskw, True
+        packed_d = jax.device_put(jnp.asarray(packed))
+        sep_d = jax.device_put(jnp.asarray(sep))
 
-        sizes = [cfg.batch_windows] * n_full + ([tail] if tail else [])
-        start = 0
-        for n in sizes:
-            rows = min(cfg.rows, n)
-            run_keys = sortcount.count_step_at(
-                packed_d, maskw_d, jnp.int32(start),
-                k=k, n=n, rows=rows,
-                nwords=(n + k - 1 + 15) // 16,
-                mwords=(n + k - 1 + 31) // 32,
-            )
-            self.runs.append(run_keys)
-            self.stats["batches"] += 1
-            start += n
+        self._drain()  # blocks on superstep s-1's distinct count
+        self._dispatch(packed_d, sep_d, n, dense)
+        self.stats["batches"] += 1
         self.stats["windows_processed"] += n_windows
-        if sum(rk[0].shape[0] for rk in self.runs) >= \
-                self.cfg.merge_every * self.cfg.batch_windows:
-            self._merge()
         self.stats["build_seconds"] += time.perf_counter() - t0
 
-    def _merge(self):
-        """Merge buffered runs into the compacted distinct prefix."""
-        if not self.runs:
-            return
-        first = self.n_distinct == 0 and self.stats["compactions"] == 0
-        # count embedding: the trailing key word's free low bits must hold
-        # the clamp ceiling plus this merge's whole row count
-        eb = sortcount.embed_bits(self.cfg.k)
-        run_rows = sum(r[0].shape[0] for r in self.runs)
-        if eb and (1 << 21) + run_rows < (1 << eb):
-            if first:
-                store, nd = sortcount.merge_runs_only_embedded(self.runs, ebits=eb)
-            else:
-                store, nd = sortcount.merge_compact_embedded(
-                    self.prefix, self.runs, ebits=eb)
-        elif first:
-            # empty prefix: runs-only merge (no count payload, no dead rows)
-            store, nd = sortcount.merge_runs_only(self.runs)
+    def _dispatch(self, packed_d, sep_d, n: int, dense: bool):
+        cfg = self.cfg
+        rows = min(cfg.rows, n)
+        eb = sortcount.embed_bits(cfg.k)
+        # count embedding: stored counts are always < 2^21 (post-sum
+        # modular clamp in ops/sortcount.py), so 21 free trailing-word
+        # bits suffice, independent of merge size
+        if eb >= 21:
+            new_prefix, nd = sortcount.superstep_embedded(
+                packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
+                ebits=eb, dense=dense)
         else:
-            store, nd = sortcount.merge_compact(self.prefix, self.runs)
-        nd = int(nd)
-        while nd > self.cfg.prefix_cap:
-            # distinct set outgrew the prefix: double it (the merge result
-            # is complete — capacity only governs the slice kept below)
-            self.cfg.prefix_cap *= 2
-            self.stats["grow_events"] += 1
-        cap = self.cfg.prefix_cap
-        total = store[-1].shape[0]
-        if cap <= total:
-            self.prefix = tuple(col[:cap] for col in store)
-        else:  # pad dead tail up to the grown capacity
+            new_prefix, nd = sortcount.superstep_plain(
+                packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
+                dense=dense)
+        self._inflight = (new_prefix, nd, (packed_d, sep_d, n, dense, self.prefix))
+
+    def _drain(self):
+        """Resolve the in-flight superstep: accept its prefix, or grow
+        the capacity and replay it (the old prefix and the superbatch
+        inputs stay live until the distinct count is verified)."""
+        while self._inflight is not None:
+            new_prefix, nd_h, replay = self._inflight
+            self._inflight = None
+            nd = int(nd_h)
+            if nd <= self.cfg.prefix_cap:
+                self.prefix = new_prefix
+                self.n_distinct = nd
+                self.stats["compactions"] += 1
+                return
+            # grow-and-replay: double the capacity until it fits, re-pad
+            # the still-live old prefix, and re-run the same superbatch
+            packed_d, sep_d, n, dense, old_prefix = replay
+            while nd > self.cfg.prefix_cap:
+                self.cfg.prefix_cap *= 2
+                self.stats["grow_events"] += 1
+            pad = self.cfg.prefix_cap - old_prefix[0].shape[0]
             self.prefix = tuple(
-                jnp.concatenate([col, jnp.zeros((cap - total,), col.dtype)])
-                for col in store
+                jnp.concatenate([col, sortcount.dead_fill((pad,), col.dtype)])
+                for col in old_prefix
             )
-        self.n_distinct = nd
-        self.runs = []
-        self.stats["compactions"] += 1
+            self._dispatch(packed_d, sep_d, n, dense)
+
+    def _merge(self):
+        """Drain any in-flight device work (the superstep merges as it
+        goes, so this is just the pipeline sync point)."""
+        self._drain()
 
     # -- output ------------------------------------------------------------
 
@@ -219,9 +240,20 @@ class SortKmerCounter:
             return counts & 0xFFFF        # uint16 wrap, reference plain table
         return np.minimum(counts, 16383)  # 14-bit saturation, kaarme table
 
+    def _flush(self):
+        """Process buffered host-side input (pending chunks + carry) so
+        no partial reads are silently dropped by dump/save/find: the
+        stream-so-far is treated as complete (windows that WOULD span a
+        dump boundary and later input are not formed — same semantics as
+        the reference's single-shot run ending)."""
+        if self._pending or self._carry.shape[0]:
+            self.finish()
+
     def dump(self):
         """(keys (N, W) uint32 sorted, counts (N,) int64) of all distinct
-        k-mers, before abundance filtering / clipping."""
+        k-mers, before abundance filtering / clipping.  Flushes buffered
+        input first."""
+        self._flush()
         self._merge()
         nd = self.n_distinct
         if not nd:
@@ -288,6 +320,7 @@ class SortKmerCounter:
 
     def save(self, path: str):
         """Snapshot the merged distinct set + config to an .npz file."""
+        self._flush()
         self._merge()
         nd = self.n_distinct
         cols = {f"col{i}": np.asarray(jax.device_get(c[:nd]))
@@ -317,8 +350,18 @@ class SortKmerCounter:
         cols = []
         for i in range(config.words + 1):
             host = z[f"col{i}"]
-            full = np.zeros(cap, host.dtype)
-            full[:nd] = host
+            if host.dtype == np.int32 or host.dtype == np.int64:
+                # count column: re-apply the modular clamp so checkpoints
+                # written before the stored-count invariant existed still
+                # satisfy counts < 2^21
+                host = host.astype(np.int64)
+                big = 1 << 20
+                host = np.where(host > big, big + (host & (big - 1)), host)
+                full = np.zeros(cap, np.int32)
+                full[:nd] = host.astype(np.int32)
+            else:
+                full = np.full(cap, 0xFFFFFFFF, np.uint32)  # sentinel padding
+                full[:nd] = host
             cols.append(jnp.asarray(full))
         self.prefix = tuple(cols)
         self.n_distinct = nd

@@ -163,6 +163,46 @@ def _canonical_keys_2d(shift, k: int):
     return [jnp.where(c <= 0, f, r) for f, r in zip(fwd, rcw)]
 
 
+def unpack_codes_sparse(packed, sep_idx, n: int):
+    """Unpack 2-bit codes and mark invalid positions from a SPARSE index
+    list instead of a dense bitmap — the host->device link is the scarce
+    resource (~45 MB/s), and separators are ~1/151 of positions for
+    read-delimited input, so shipping uint32 indices cuts transfer bytes
+    by ~1/3 vs the n/8-byte dense mask.  ``sep_idx`` is padded with
+    out-of-range values (dropped by the scatter)."""
+    x = jnp.stack(
+        [(packed >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(16)], axis=1
+    ).reshape(-1)[:n]
+    return x.at[sep_idx].set(jnp.uint32(4), mode="drop", unique_indices=True)
+
+
+def window_keys_from_codes(codes, k: int, n: int, rows: int):
+    """Canonical window keys from an unpacked code array (length
+    n + k - 1, values 0..3 valid / bit 2 set = invalid).  See
+    ``window_keys`` for the contract; split out so callers can choose
+    the unpack (dense bitmap vs sparse separator list)."""
+    L = n + k - 1
+    cols = n // rows
+    codes = _B(codes)
+
+    def shift(i: int):
+        plane = jax.lax.slice(codes, (i,), (i + n,)).reshape(rows, cols)
+        return plane & jnp.uint32(3)
+
+    keys = list(_B(tuple(_canonical_keys_2d(shift, k))))
+
+    invalid = (codes >> jnp.uint32(2)).astype(jnp.int32)
+    idx_l = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    nii = jax.lax.cummin(
+        idx_l * invalid + (1 - invalid) * jnp.int32(1 << 30), reverse=True
+    )
+    nii = _B(nii)
+    d = jax.lax.slice(nii, (0,), (n,)) - jax.lax.broadcasted_iota(jnp.int32, (n,), 0) - k
+    smask = jax.lax.bitcast_convert_type(d >> 31, jnp.uint32)  # all-ones iff bad
+
+    return tuple(x.reshape(-1) | smask for x in keys)
+
+
 def window_keys(packed, maskwords, k: int, n: int, rows: int):
     """One batch: packed stream -> n canonical window keys (UNSORTED).
 
@@ -177,32 +217,29 @@ def window_keys(packed, maskwords, k: int, n: int, rows: int):
     (all-ones) rows.  No per-batch sort/count happens here: the merge
     sorts everything anyway, so batch-local ordering would be pure waste
     (~40% of step time on the measured hardware).
+
+    Window validity: window t is bad iff the next invalid position at
+    or after t is < t + k.  next-invalid via reverse cummin; the bad
+    mask becomes an all-ones bitmask through an arithmetic sign-extend
+    (no boolean tensors).  invalid flag = code bit 2.
     """
-    L = n + k - 1
-    cols = n // rows
-    codes = unpack_codes(packed, maskwords, L)
-    codes = _B(codes)
+    codes = unpack_codes(packed, maskwords, n + k - 1)
+    return window_keys_from_codes(codes, k, n, rows)
 
-    def shift(i: int):
-        plane = jax.lax.slice(codes, (i,), (i + n,)).reshape(rows, cols)
-        return plane & jnp.uint32(3)
 
-    keys = list(_B(tuple(_canonical_keys_2d(shift, k))))
-
-    # Window validity: window t is bad iff the next invalid position at
-    # or after t is < t + k.  next-invalid via reverse cummin; the bad
-    # mask becomes an all-ones bitmask through an arithmetic sign-extend
-    # (no boolean tensors).  invalid flag = code bit 2.
-    invalid = (codes >> jnp.uint32(2)).astype(jnp.int32)
-    idx_l = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
-    nii = jax.lax.cummin(
-        idx_l * invalid + (1 - invalid) * jnp.int32(1 << 30), reverse=True
-    )
-    nii = _B(nii)
-    d = jax.lax.slice(nii, (0,), (n,)) - jax.lax.broadcasted_iota(jnp.int32, (n,), 0) - k
-    smask = jax.lax.bitcast_convert_type(d >> 31, jnp.uint32)  # all-ones iff bad
-
-    return tuple(x.reshape(-1) | smask for x in keys)
+def _clamp_count(c):
+    """Modular clamp: c > 2^20 -> 2^20 + (c mod 2^20).  Both output
+    contracts survive (14-bit saturation needs only c >= 16383 —
+    reference: source/kmer.cpp:699-713 — and uint16 wrap needs only
+    c mod 65536, and 65536 | 2^20).  Applied to every stored segment
+    sum, so stored counts are < 2^21 everywhere; that bound is what
+    makes the count-embedding eligibility gate in the model layer and
+    the wrapped-uint32 segment sums below sound."""
+    big = 1 << 20
+    if c.dtype == jnp.uint32:
+        return jnp.where(c > jnp.uint32(big),
+                         jnp.uint32(big) + (c & jnp.uint32(big - 1)), c)
+    return jnp.where(c > jnp.int32(big), jnp.int32(big) + (c & jnp.int32(big - 1)), c)
 
 
 def _is_sentinel_i32(keys):
@@ -231,12 +268,14 @@ def _segment_marks(s_keys):
 
 def _boundary_counts(s_keys):
     """Per-record count of its segment, emitted at the segment's LAST row
-    (0 elsewhere); sentinel records count 0.  Inputs sorted."""
+    (0 elsewhere); sentinel records count 0.  Inputs sorted.  Counts are
+    clamped (see _clamp_count) so the stored-count invariant (< 2^21)
+    holds even for a single key filling a whole merge."""
     idx, first, last = _segment_marks(s_keys)
     start = jax.lax.cummax(first * idx)
     start = _B(start)
     alive = last * (1 - _is_sentinel_i32(s_keys))
-    return alive * (idx - start + 1)
+    return alive * _clamp_count(idx - start + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -245,20 +284,34 @@ def _boundary_counts(s_keys):
 
 def make_store(cap: int, words: int):
     """Store columns: W uint32 key columns + 1 int32 count column.
-    Rows with count 0 are dead; zero-key dead rows (the initial state)
-    merge harmlessly into a real A^k segment because they add count 0."""
-    return tuple(jnp.zeros((cap,), jnp.uint32) for _ in range(words)) + (
-        jnp.zeros((cap,), jnp.int32),
-    )
+    Dead rows are SENTINELS (all-ones keys, count 0): unlike zero-key
+    padding they can never alias a real key's segment, which the
+    cumsum-free embedded compact relies on (a count-0 row inside a real
+    segment would inflate its length-based count)."""
+    return tuple(
+        jnp.full((cap,), SENTINEL, jnp.uint32) for _ in range(words)
+    ) + (jnp.zeros((cap,), jnp.int32),)
+
+
+def dead_fill(shape, dtype):
+    """Padding rows for store columns: sentinel keys, zero counts."""
+    if dtype == jnp.int32 or dtype == np.int32:
+        return jnp.zeros(shape, jnp.int32)
+    return jnp.full(shape, SENTINEL, jnp.uint32)
 
 
 def compact(store):
     """Merge duplicate keys and pack distinct records into a sorted
     prefix.  Returns (store, n_distinct).
 
-    Two sorts around cumulative segment sums; the segment sum uses the
-    monotone-cumsum trick (cnt >= 0 makes prefix sums nondecreasing, so
-    the segment base propagates with cummax) — no gathers, no scatters.
+    Segment sums run in WRAPPED uint32: the global cumsum may overflow
+    2^32, but each segment's true sum is < 2^32 (structural invariant:
+    every caller feeds at most a few clamped (< 2^21) rows per key plus
+    unit-count rows, and one merge holds < 2^30 rows), so the uint32
+    difference (csum_at_last - csum_before_first) is exact.  The
+    per-segment base comes from ONE gather at the segment start index
+    (the old monotone-cummax propagation required a nondecreasing csum,
+    which wrapping breaks).
     """
     *keys, cnt = store
 
@@ -267,24 +320,21 @@ def compact(store):
     s = _B(s)
     s_keys, s_cnt = list(s[:-1]), s[-1]
 
-    # Clamp huge per-key counts to 2^20 + (c mod 2^20).  Both output
-    # contracts survive this: saturation needs only c >= 16383
-    # (reference: source/kmer.cpp:699-713) and uint16 wrap needs only
-    # c mod 65536 (reference: source/kmer_hash_table.cpp:2001), and
-    # 65536 | 2^20.  It also keeps the int32 prefix sums below from
-    # overflowing for any realistic workload.
-    big = jnp.int32(1 << 20)
-    s_cnt = jnp.where(s_cnt > big, big + (s_cnt & (big - 1)), s_cnt)
+    # defensive input clamp (all producers clamp already): keeps every
+    # row < 2^21 so the per-segment-sum bound above holds
+    s_cnt = _clamp_count(s_cnt)
 
     idx, first, last = _segment_marks(s_keys)
 
-    csum = jnp.cumsum(s_cnt)
+    csum = jnp.cumsum(s_cnt.astype(jnp.uint32))      # wraps mod 2^32 — fine
     csum = _B(csum)
-    prev = jnp.roll(csum, 1) * jnp.minimum(idx, 1)   # zero at row 0
-    base = jax.lax.cummax(first * prev)
-    base = _B(base)
+    start = jax.lax.cummax(first * idx)
+    start = _B(start)
+    # base = csum just before the segment start (0 for the first segment)
+    base = jnp.take(csum, jnp.maximum(start - 1, 0)) \
+        * jnp.minimum(start, 1).astype(jnp.uint32)
     alive = last * (1 - _is_sentinel_i32(s_keys))
-    seg = alive * (csum - base)
+    seg = alive * _clamp_count(csum - base).astype(jnp.int32)
 
     # pack alive records (seg > 0) to the front, preserving key order: a
     # STABLE sort on the 1-bit dead flag is a stable partition — much
@@ -339,6 +389,64 @@ def embed_bits(k: int) -> int:
     return 2 * (16 - r) if r else 0
 
 
+# ---------------------------------------------------------------------------
+# Fused superstep: one dispatch per superbatch
+# ---------------------------------------------------------------------------
+# Measured on the target chip (scripts/profile_dispatch.py): every host
+# dispatch costs ~26 ms of fixed tunnel overhead, so the round-1
+# pipeline (4 window steps + 2 merges per superbatch = 6 dispatches)
+# burned ~160 ms/superbatch before any work happened.  The superstep
+# fuses unpack -> canonical windows -> merge-with-prefix into ONE
+# compiled call.  Transfers (~45 MB/s, fully overlappable with compute)
+# are issued by the model layer while the previous superstep runs.
+
+@partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense"))
+def superstep_embedded(packed, sep, prefix, *, k: int, n: int, rows: int,
+                       ebits: int, dense: bool = False):
+    """packed stream (+ separator info) + distinct prefix ->
+    (new prefix columns sliced to the prefix capacity, n_distinct).
+
+    ``sep`` is a sparse uint32 separator-index list (default) or, with
+    ``dense=True``, the uint32 invalid bitmap (for inputs with > 1/32
+    separator density, where the sparse list stops saving bytes).
+
+    Embedded-count formulation (ebits >= 21): the count travels in the
+    trailing key word's low bits, so the merge is one W-column sort +
+    one partition sort.  The prefix is NOT donated: if n_distinct
+    overflows the capacity the caller re-pads the (still live) old
+    prefix and retries with a larger capacity.
+    """
+    w = len(prefix) - 1
+    cap = prefix[0].shape[0]
+    codes = unpack_codes(packed, sep, n + k - 1) if dense \
+        else unpack_codes_sparse(packed, sep, n + k - 1)
+    keys = window_keys_from_codes(codes, k, n, rows)
+
+    cols = [jnp.concatenate([prefix[i], keys[i]]) for i in range(w - 1)]
+    last = jnp.concatenate(
+        [prefix[w - 1] | prefix[-1].astype(jnp.uint32), keys[w - 1] | jnp.uint32(1)]
+    )
+    store, nd = _compact_embedded(cols + [last], ebits)
+    return tuple(c[:cap] for c in store), nd
+
+
+@partial(jax.jit, static_argnames=("k", "n", "rows", "dense"))
+def superstep_plain(packed, sep, prefix, *, k: int, n: int, rows: int,
+                    dense: bool = False):
+    """superstep for k values without >= 21 free trailing-word bits:
+    counts ride a separate int32 column through the merge."""
+    w = len(prefix) - 1
+    cap = prefix[0].shape[0]
+    codes = unpack_codes(packed, sep, n + k - 1) if dense \
+        else unpack_codes_sparse(packed, sep, n + k - 1)
+    keys = window_keys_from_codes(codes, k, n, rows)
+
+    cols = [jnp.concatenate([prefix[i], keys[i]]) for i in range(w)]
+    cnt = jnp.concatenate([prefix[-1], jnp.ones((n,), jnp.int32)])
+    store, nd = compact(tuple(cols) + (cnt,))
+    return tuple(c[:cap] for c in store), nd
+
+
 def _compact_embedded(cols, ebits: int):
     """Compact W columns whose last column carries the count in its low
     ``ebits`` bits (the trailing key word is left-aligned, so for
@@ -347,9 +455,20 @@ def _compact_embedded(cols, ebits: int):
     payload from both sorts: arity W instead of W+1, and the stable
     partition carries W+1 columns instead of W+2.
 
-    Rows with all-ones in every column are sentinels; zero rows (cnt 0)
-    merge harmlessly.  Returns (store columns with counts split back
-    out, n_distinct) in the standard store format.
+    Rows with all-ones in every column are sentinels.  Returns (store
+    columns with counts split back out, n_distinct) in the standard
+    store format.
+
+    Segment sums are CUMSUM-FREE: callers guarantee at most ONE
+    non-unit-count row per real-key segment (the compacted prefix has
+    one row per key; run rows carry count 1), and because the count
+    lives in the LOW bits of the last sort key, rows within an
+    equal-key segment order by count ascending — so the segment's last
+    row holds that one non-unit count.  The segment sum is then exactly
+    c_last + (len - 1), all in small int32 (c_last < 2^21 by the stored
+    clamp invariant, len <= rows-per-merge < 2^28).  This drops the
+    cumsum + roll + base passes from the hot merge AND removes the
+    int32-overflow hazard the cumsum formulation had.
     """
     w = len(cols)
     cmask = jnp.uint32((1 << ebits) - 1)
@@ -360,23 +479,17 @@ def _compact_embedded(cols, ebits: int):
     s_cnt = (s[-1] & cmask).astype(jnp.int32)
     s_last = s[-1] & ~cmask
 
-    big = jnp.int32(1 << 20)
-    s_cnt = jnp.where(s_cnt > big, big + (s_cnt & (big - 1)), s_cnt)
-
     marks_keys = s_keys + [s_last]
     idx, first, last = _segment_marks(marks_keys)
 
-    csum = jnp.cumsum(s_cnt)
-    csum = _B(csum)
-    prev = jnp.roll(csum, 1) * jnp.minimum(idx, 1)
-    base = jax.lax.cummax(first * prev)
-    base = _B(base)
+    start = jax.lax.cummax(first * idx)
+    start = _B(start)
     # sentinel: all words all-ones once the count bits are ignored
     acc = s_last | cmask
     for x in s_keys:
         acc = acc & x
     alive = last * _nz(acc ^ SENTINEL)
-    seg = alive * (csum - base)
+    seg = alive * _clamp_count(s_cnt + (idx - start))
 
     # stable partition on the dead flag; dead rows become sentinels
     smask = jax.lax.bitcast_convert_type((seg - 1) >> 31, jnp.uint32)

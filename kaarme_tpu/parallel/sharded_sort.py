@@ -71,7 +71,9 @@ class ShardedSortCounter:
         cap = config.prefix_cap
         self._sharding2 = NamedSharding(self.mesh, P("d", None))
         self.prefix = tuple(
-            jax.device_put(jnp.zeros((self.ndev, cap), jnp.uint32), self._sharding2)
+            jax.device_put(
+                jnp.full((self.ndev, cap), sortcount.SENTINEL, jnp.uint32),
+                self._sharding2)
             for _ in range(w)
         ) + (jax.device_put(jnp.zeros((self.ndev, cap), jnp.int32), self._sharding2),)
         self.runs = []              # list of key tuples, each (ndev, n) uint32
@@ -248,7 +250,8 @@ class ShardedSortCounter:
             pad = cap - total
             self.prefix = tuple(
                 jnp.concatenate(
-                    [col, jnp.zeros((self.ndev, pad), col.dtype)], axis=1)
+                    [col, sortcount.dead_fill((self.ndev, pad), col.dtype)],
+                    axis=1)
                 for col in store
             )
 

@@ -204,3 +204,57 @@ def test_long_kmers(k):
     c = _counter(k, batch_windows=1 << 11, rows=1 << 5, prefix_cap=1 << 12)
     c.count_codes(codes)
     assert c.as_dict() == codec.golden_count(codes, k)
+
+
+# -- overflow / clamp invariants (round-2 advisor findings) ------------------
+
+def test_hot_key_count_clamp_across_merges():
+    """A single hot k-mer whose total count exceeds the 2^20 clamp must
+    still honor both output contracts after many streaming merges
+    (advisor: unclamped prefix sums corrupted embedded counts)."""
+    k = 17  # k%16 == 1 -> embedded path eligible (30 free bits)
+    n = (1 << 20) + 84 + (k - 1)  # poly-A: (1<<20)+84 identical windows
+    codes = np.zeros(n, np.uint8)
+    total = n - k + 1
+    for mode, expect in ((2, 16383), (0, total % 65536)):
+        c = _counter(k, mode=mode, batch_windows=1 << 14, rows=1 << 7,
+                     merge_every=2)
+        c.count_codes(codes)
+        got = c.as_dict()
+        assert got == {"A" * k: expect}
+
+
+def test_compact_exact_beyond_int32_cumsum():
+    """compact() segment sums stay exact when the GLOBAL count mass
+    exceeds int32 (advisor: the old int32 cumsum wrapped negative).
+    8192 distinct keys x count 2^20 = 2^33 total mass."""
+    import jax.numpy as jnp
+
+    n = 8192
+    w = 2
+    k0 = np.arange(n, dtype=np.uint32)
+    k1 = np.full(n, 7, np.uint32)
+    cnt = np.full(n, 1 << 20, np.int32)
+    # duplicate one key across the would-be wrap boundary
+    k0[n - 1] = k0[0]
+    store = (jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(cnt))
+    out, nd = sortcount.compact(store)
+    nd = int(nd)
+    assert nd == n - 1
+    out_c = np.asarray(out[-1][:nd])
+    # the duplicated key sums to 2^21 -> clamped to 2^20 + 0
+    expected = {(1 << 20): n - 2, (1 << 20) + ((1 << 21) % (1 << 20)): 1}
+    vals, counts = np.unique(out_c, return_counts=True)
+    got = dict(zip(vals.tolist(), counts.tolist()))
+    assert got == {(1 << 20): n - 1} or got == expected
+
+
+def test_embedded_merge_prefix_plus_units():
+    """Embedded no-cumsum path: segment sum = prefix count + unit rows
+    (counts live in the trailing word's low bits, so the non-unit row
+    sorts last within its segment)."""
+    k = 17
+    codes = np.zeros(100 + k - 1, np.uint8)  # 100 poly-A windows
+    c = _counter(k, batch_windows=1 << 5, rows=1 << 2, merge_every=2)
+    c.count_codes(codes)   # several merges: prefix-count + unit-run adds
+    assert c.as_dict() == {"A" * k: 100}
