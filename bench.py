@@ -39,6 +39,68 @@ def make_reads(genome_mb: float, coverage: int, read_len: int, seed: int = 0):
     return stream.reshape(-1)
 
 
+def run_verify(args):
+    """On-device correctness artifact (VERIFY_r{N}): golden-oracle
+    equality of the full streaming pipeline with every Pallas kernel
+    active, plus the compiled Mosaic regression cases that interpret
+    mode cannot catch (tests/test_pallas_compact.py documents the bug)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kaarme_tpu.models.sort_counter import SortCounterConfig, SortKmerCounter
+    from kaarme_tpu.ops import pallas_compact as pc
+    from kaarme_tpu.utils import codec
+
+    dev = jax.devices()[0]
+    results = {"device": str(dev)}
+
+    # 1) compiled compact-kernel regression cases (adjacent low-key-bit
+    # segments; the & ~cmask strip miscompiled when fused into roll)
+    SENT = 0xFFFFFFFF
+    eb = 22
+    block = pc.block_elems()
+    ok_regress = True
+    for vals in ([0x400001, 0x800001],
+                 [0x400001, 0x400001, 0x800001],
+                 [0x000001, 0x400001],
+                 [0x000001] * 22 + [0x400001]):
+        rows = np.array(vals + [SENT] * (block - len(vals)),
+                        np.uint64).astype(np.uint32)
+        ok, oc, nd, ndu = pc.segsum_compact(
+            (jnp.asarray(rows),), embedded=True, ebits=eb, interpret=False)
+        kk = np.asarray(ok[0][: int(ndu)])
+        cc = np.asarray(oc[: int(ndu)])
+        live = cc > 0
+        got = sorted(zip(kk[live].tolist(), cc[live].tolist()))
+        exp = {}
+        for v in vals:
+            kv = v & ~((1 << eb) - 1)
+            exp[kv] = exp.get(kv, 0) + (v & ((1 << eb) - 1))
+        if got != sorted(exp.items()):
+            ok_regress = False
+    results["mosaic_regression"] = "PASS" if ok_regress else "FAIL"
+
+    # 2) end-to-end golden equality, multi-superstep, k=51 and k=31,
+    # duplication pressure + invalid bases, Pallas auto (on-chip kernels)
+    all_ok = ok_regress
+    for k in (51, 31):
+        codes = make_reads(0.15, 8, 150, seed=3)
+        golden = codec.golden_count(codes, k)
+        cfg = SortCounterConfig(
+            k=k, batch_windows=1 << 17, rows=1 << 9, superbatch_batches=2,
+            prefix_cap=1 << 18, min_abundance=1)
+        c = SortKmerCounter(cfg).count_codes(codes)
+        got = c.as_dict()
+        ok = got == golden
+        all_ok = all_ok and ok
+        results[f"golden_equality_k{k}"] = (
+            f"PASS ({len(golden)} distinct)" if ok else
+            f"FAIL (got {len(got)} vs {len(golden)} distinct)")
+    results["verdict"] = "PASS" if all_ok else "FAIL"
+    print(json.dumps(results))
+    return 0 if all_ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=51)
@@ -50,10 +112,16 @@ def main():
     ap.add_argument("--superbatch", type=int, default=4,
                     help="device batches fused per superstep dispatch")
     ap.add_argument("--merge-every", type=int, default=2)
-    ap.add_argument("--prefix-log2", type=int, default=22,
-                    help="initial distinct-store capacity (log2); size above "
-                         "the expected distinct count to avoid growth recompiles")
+    ap.add_argument("--prefix-log2", type=int, default=23,
+                    help="initial distinct-store capacity (log2); 2^23 matches "
+                         "the reference README's own -s 8000000 sizing for this "
+                         "workload (growth-replay would otherwise double work)")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--verify", action="store_true",
+                    help="correctness mode: count a small workload on the "
+                         "real device (all Pallas kernels active), diff "
+                         "against the golden oracle, and run the compiled "
+                         "Mosaic regression cases; prints PASS/FAIL JSON")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +130,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from kaarme_tpu.models.sort_counter import SortCounterConfig, SortKmerCounter
+
+    if args.verify:
+        return run_verify(args)
 
     k = args.k
     codes = make_reads(args.genome_mb, args.coverage, args.read_len)
@@ -110,4 +181,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

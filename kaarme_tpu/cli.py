@@ -93,6 +93,21 @@ def main(argv=None) -> int:
         return 1
 
     # imports deferred so `--help` stays fast
+    import jax
+
+    # persistent compile cache: the fused superstep is one large XLA
+    # program per (k, shape); caching it across runs turns a minutes-long
+    # first compile into a sub-second load (the reference has no compile
+    # phase — this is the TPU-native equivalent of its build step)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("KAARME_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/jax_comp_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from .io.reader import FormatError, sniff_format
     from .models.counter import CounterConfig, KmerCounter
 

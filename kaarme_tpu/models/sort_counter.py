@@ -47,6 +47,9 @@ class SortCounterConfig:
                                    # windows + prefix x ~10 generations)
     prefix_cap: int = 1 << 22      # distinct-record prefix capacity; grows on demand
     min_slots: int = 0             # reference -s compat: initial prefix sizing
+    compactor: str = "auto"        # post-sort compaction: "auto" (Pallas kernel
+                                   # on TPU, XLA elsewhere), "pallas", "xla",
+                                   # "interpret" (Pallas interpreter, CPU tests)
 
     def __post_init__(self):
         if self.k < 2:
@@ -90,6 +93,8 @@ class SortKmerCounter:
         self.cfg = config
         self.prefix = sortcount.make_store(config.prefix_cap, config.words)
         self.n_distinct = 0
+        self.n_used = 0     # prefix rows occupied (>= n_distinct: the Pallas
+                            # compactor intersperses sentinel pad rows)
         self._carry = np.empty(0, np.uint8)
         self._pending = []      # encoded chunks awaiting a full superbatch
         self._pending_n = 0
@@ -185,6 +190,18 @@ class SortKmerCounter:
         self.stats["windows_processed"] += n_windows
         self.stats["build_seconds"] += time.perf_counter() - t0
 
+    def _pallas_mode(self) -> str:
+        c = self.cfg.compactor
+        if c == "auto":
+            # decide from the device actually holding the store, not
+            # jax.default_backend(): the axon TPU plugin registers the
+            # "tpu" platform even when tests pin jax_default_device to
+            # CPU, so backend name alone would route CPU runs into the
+            # compiled Mosaic path (unsupported there)
+            platform = next(iter(self.prefix[0].devices())).platform
+            return "on" if platform != "cpu" else "off"
+        return {"pallas": "on", "xla": "off", "interpret": "interpret"}[c]
+
     def _dispatch(self, packed_d, sep_d, n: int, dense: bool):
         cfg = self.cfg
         rows = min(cfg.rows, n)
@@ -195,11 +212,11 @@ class SortKmerCounter:
         if eb >= 21:
             new_prefix, nd = sortcount.superstep_embedded(
                 packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
-                ebits=eb, dense=dense)
+                ebits=eb, dense=dense, pallas=self._pallas_mode())
         else:
             new_prefix, nd = sortcount.superstep_plain(
                 packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
-                dense=dense)
+                dense=dense, pallas=self._pallas_mode())
         self._inflight = (new_prefix, nd, (packed_d, sep_d, n, dense, self.prefix))
 
     def _drain(self):
@@ -209,10 +226,11 @@ class SortKmerCounter:
         while self._inflight is not None:
             new_prefix, nd_h, replay = self._inflight
             self._inflight = None
-            nd = int(nd_h)
+            nd_exact, nd = (int(x) for x in np.asarray(nd_h))
             if nd <= self.cfg.prefix_cap:
                 self.prefix = new_prefix
-                self.n_distinct = nd
+                self.n_distinct = nd_exact
+                self.n_used = nd
                 self.stats["compactions"] += 1
                 return
             # grow-and-replay: double the capacity until it fits, re-pad
@@ -255,7 +273,7 @@ class SortKmerCounter:
         input first."""
         self._flush()
         self._merge()
-        nd = self.n_distinct
+        nd = self.n_used
         if not nd:
             return (np.zeros((0, self.cfg.words), np.uint32),
                     np.zeros((0,), np.int64))
@@ -263,6 +281,12 @@ class SortKmerCounter:
             [np.asarray(jax.device_get(c[:nd])) for c in self.prefix[:-1]], axis=1
         )
         cnt = np.asarray(jax.device_get(self.prefix[-1][:nd])).astype(np.int64)
+        if self.n_used != self.n_distinct:
+            # Pallas-compacted prefixes intersperse sentinel pad rows
+            # (count 0) at block boundaries — drop them here so every
+            # consumer sees a dense sorted store
+            live = cnt > 0
+            keys, cnt = keys[live], cnt[live]
         return keys, cnt
 
     def as_dict(self) -> dict:
@@ -320,11 +344,10 @@ class SortKmerCounter:
 
     def save(self, path: str):
         """Snapshot the merged distinct set + config to an .npz file."""
-        self._flush()
-        self._merge()
-        nd = self.n_distinct
-        cols = {f"col{i}": np.asarray(jax.device_get(c[:nd]))
-                for i, c in enumerate(self.prefix)}
+        keys, cnt = self.dump()   # flushes + drains + drops pad rows
+        nd = keys.shape[0]
+        cols = {f"col{i}": keys[:, i] for i in range(self.cfg.words)}
+        cols[f"col{self.cfg.words}"] = cnt.astype(np.int32)
         np.savez_compressed(
             path, n_distinct=nd, k=self.cfg.k, mode=self.cfg.mode,
             min_abundance=self.cfg.min_abundance,
@@ -365,6 +388,7 @@ class SortKmerCounter:
             cols.append(jnp.asarray(full))
         self.prefix = tuple(cols)
         self.n_distinct = nd
+        self.n_used = nd       # checkpoints are dense (pad rows dropped)
         self.stats["windows_processed"] = int(z["windows_processed"])
         return self
 

@@ -1,0 +1,343 @@
+"""Pallas TPU kernel: fused segment-sum + stream compaction.
+
+Replaces the post-sort half of the superstep merge (`_compact_embedded` /
+`compact` in ops/sortcount.py).  The XLA formulation needs a second full
+W+1-column sort (a stable partition) plus several cumulative passes —
+measured 601 ms for 36M rows on the target chip, ~60% of the whole
+superstep.  This kernel does the same work in ONE pass over the sorted
+columns (~50 ms):
+
+  per block of R = S*128 rows (sequential grid):
+    - segment boundaries against the previous row (cross-block carry of
+      the last row's key in SMEM — the reference's analogous state is
+      the rolling factory's previous-window state,
+      reference: source/kmer_factory.cpp:104-239);
+    - per-segment totals WITHOUT a segmented scan: merge inputs
+      guarantee at most one non-unit-count row per key segment, and the
+      count is the least-significant sort key, so the segment's last
+      row carries that count: total = c_last + (len - 1)
+      (len via a flat cummax of boundary positions, carried across
+      blocks);
+    - the totals are clamped with the contract-preserving modular clamp
+      (counts stay < 2^21 — see sortcount._clamp_count);
+    - alive rows (= segment-last, non-sentinel) are packed to the block
+      front by a monotone log-shift compaction in VMEM (no gather /
+      scatter hardware needed — TPU has none worth using);
+    - the packed run (padded to whole 128-lane rows with sentinels) is
+      DMA'd to a global cursor carried in SMEM; later blocks overwrite
+      earlier blocks' padding, so the output is dense up to the final
+      cursor.
+
+Output rows are therefore "sorted distinct records with interspersed
+all-ones sentinel pad rows" — every consumer treats sentinel rows as
+dead (they sort last in the next merge; host dumps filter count == 0).
+
+The same kernel serves both count layouts:
+  - embedded (ebits >= 21): count lives in the low `ebits` of the last
+    key word (sort arity W);
+  - separate (ebits == 0): count is its own trailing uint32 column,
+    sorted as the LEAST-SIGNIFICANT key (arity W+1) — that ordering is
+    exactly what makes the c_last trick valid for any k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENT = np.uint32(0xFFFFFFFF)
+_LANES = 128
+_BLOCK_ROWS = 256
+
+
+def block_elems(block_rows: int = _BLOCK_ROWS) -> int:
+    """Rows consumed per grid step — callers pad N to a multiple."""
+    return block_rows * _LANES
+
+
+def _flat_pos(S):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+    return sub * _LANES + lane, lane
+
+
+def _flat_roll1(v, S):
+    """y.flat[i] = v.flat[i-1] (y.flat[0] = v.flat[-1], caller replaces)."""
+    xl = pltpu.roll(v, 1, 1)
+    xp = pltpu.roll(xl, 1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+    return jnp.where(lane < 1, xp, xl)
+
+
+def _flat_roll_back(v, d, S, fill):
+    """y.flat[i] = v.flat[i+d] for static d > 0; tail filled with `fill`.
+
+    d = ml + ms*128.  Gather-from-ahead: lane roll by -ml pulls within
+    the row (elements wrapping came from the next row), sublane roll by
+    -ms moves whole rows up.
+    """
+    n = S * _LANES
+    ml, ms = d % _LANES, d // _LANES
+    y = v
+    if ml:
+        xl = pltpu.roll(y, _LANES - ml, 1)      # y[s,l] = v[s, (l+ml)%128]
+        xn = pltpu.roll(xl, S - 1, 0)           # next row's wrapped part
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+        y = jnp.where(lane >= _LANES - ml, xn, xl)
+    if ms:
+        y = pltpu.roll(y, S - ms, 0)
+    fpos, _ = _flat_pos(S)
+    return jnp.where(fpos >= n - d, fill, y)
+
+
+def _cumsum_flat_incl(x, S):
+    """Inclusive prefix sum over flat order: lane scan + row-base scan."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+    out = x
+    sh = 1
+    while sh < _LANES:
+        r = pltpu.roll(out, sh, 1)
+        out = out + jnp.where(lane >= sh, r, 0)
+        sh *= 2
+    row_tot = jax.lax.broadcast_in_dim(out[:, _LANES - 1], (S, _LANES), (0,))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 0)
+    base = row_tot
+    sh = 1
+    while sh < S:
+        r = pltpu.roll(base, sh, 0)
+        base = base + jnp.where(sub >= sh, r, 0)
+        sh *= 2
+    # base is inclusive-of-own-row; exclusive row base:
+    return out + (base - row_tot)
+
+
+def _cummax_flat(x, S, neg):
+    """Inclusive prefix max over flat order (monotone candidates)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+    out = x
+    sh = 1
+    while sh < _LANES:
+        r = pltpu.roll(out, sh, 1)
+        out = jnp.maximum(out, jnp.where(lane >= sh, r, neg))
+        sh *= 2
+    row_max = jax.lax.broadcast_in_dim(out[:, _LANES - 1], (S, _LANES), (0,))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 0)
+    base = row_max
+    sh = 1
+    while sh < S:
+        r = pltpu.roll(base, sh, 0)
+        base = jnp.maximum(base, jnp.where(sub >= sh, r, neg))
+        sh *= 2
+    # exclusive row base: inclusive row scan shifted down one row
+    base_excl = jnp.where(sub >= 1, pltpu.roll(base, 1, 0), neg)
+    return jnp.maximum(out, base_excl)
+
+
+def _clamp_u32(c):
+    big = jnp.uint32(1 << 20)
+    return jnp.where(c > big, big + (c & (big - 1)), c)
+
+
+def _compact_kernel(W: int, S: int, embedded: bool, ebits: int):
+    """Build the kernel body.  Refs:
+      ins:  s_0..s_{W-1} [, cnt_in]   each (S, 128) blocks
+      outs: o_0..o_{W-1}, o_cnt (ANY/HBM, full arrays), nd (SMEM (2,))
+      scratch: carry SMEM (W+4,), vout VMEM (W+1, S, 128), sem DMA
+    carry layout: [0..W): prev key words (count-stripped);
+      [W]: prev cnt; [W+1]: prev sent; [W+2]: prev segstart;
+      [W+3]: row cursor; nd accumulates in the nd output itself.
+    """
+    n = S * _LANES
+    cmask = np.uint32((1 << ebits) - 1) if embedded else np.uint32(0)
+
+    def kernel(*refs):
+        nin = W + (0 if embedded else 1)
+        in_refs = refs[:nin]
+        out_refs = refs[nin:nin + W + 1]
+        nd_ref = refs[nin + W + 1]
+        carry = refs[nin + W + 2]
+        vout = refs[nin + W + 3]
+        sem = refs[nin + W + 4]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for w in range(W):
+                carry[w] = SENT
+            carry[W] = jnp.uint32(0)       # prev cnt
+            carry[W + 1] = jnp.uint32(1)   # prev sent
+            carry[W + 2] = jnp.uint32(0)   # prev segstart
+            carry[W + 3] = jnp.uint32(0)   # row cursor
+            nd_ref[0] = jnp.int32(0)
+            nd_ref[1] = jnp.int32(0)
+
+        key = [in_refs[w][...] for w in range(W)]
+        if embedded:
+            cnt = key[W - 1] & cmask
+            # strip via subtraction, NOT `& ~cmask`: Mosaic miscompiles an
+            # AND with a negative-as-i32 splat constant when it fuses into
+            # a downstream pltpu.roll (measured on the target toolchain:
+            # 0xFFC00000-masked values came out of the roll with bit 31
+            # or bit 22 cleared; see tests/test_pallas_compact.py
+            # test_adjacent_low_keybit_segments for the regression case)
+            key[W - 1] = key[W - 1] - cnt
+        else:
+            cnt = in_refs[W][...]
+
+        fpos, _lane = _flat_pos(S)
+        is0 = fpos == 0
+
+        # sentinel rows: all key words all-ones once count bits are set
+        acc = key[W - 1] | cmask
+        for w in range(W - 1):
+            acc = acc & key[w]
+        sent = jnp.where(acc == SENT, jnp.int32(1), jnp.int32(0))
+
+        # segment-first marks vs previous row (carry for flat 0)
+        neq = jnp.zeros((S, _LANES), jnp.int32)
+        for w in range(W):
+            pk = jnp.where(is0, carry[w], _flat_roll1(key[w], S))
+            neq = jnp.maximum(neq, jnp.where(pk != key[w], 1, 0))
+        first = neq
+
+        gpos = i * n + fpos
+        cand = jnp.where(first == 1, gpos, jnp.int32(-1))
+        segstart = jnp.maximum(_cummax_flat(cand, S, jnp.int32(-1)),
+                               carry[W + 2].astype(jnp.int32))
+
+        # decided (lagged) row quantities: decided j == global row i*n-1+j
+        def lag(v, c0):
+            return jnp.where(is0, c0, _flat_roll1(v, S))
+
+        dk = [lag(key[w], carry[w]) for w in range(W)]
+        dcnt = lag(cnt, carry[W])
+        dsent = lag(sent, carry[W + 1].astype(jnp.int32))
+        dstart = lag(segstart, carry[W + 2].astype(jnp.int32))
+        alive = first * (1 - dsent)
+        total = _clamp_u32(dcnt + (gpos - 1 - dstart).astype(jnp.uint32))
+        ocnt = jnp.where(alive == 1, total, jnp.uint32(0))
+
+        # ---- monotone log-shift compaction of alive rows ----
+        sh = _cumsum_flat_incl(1 - alive, S) - (1 - alive)  # exclusive dead count
+        cur = dk + [ocnt]
+        av, sv = alive, sh
+        d = 1
+        while d < n:
+            mv = av * jnp.where((sv & d) != 0, 1, 0)
+            take = _flat_roll_back(mv, d, S, jnp.int32(0))
+            cur = [
+                jnp.where(take == 1, _flat_roll_back(c, d, S, SENT), c)
+                for c in cur
+            ]
+            sv = jnp.where(take == 1, _flat_roll_back(sv, d, S, jnp.int32(0)), sv)
+            av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
+            d *= 2
+
+        for w in range(W):
+            vout[w] = jnp.where(av == 1, cur[w], SENT)
+        vout[W] = jnp.where(av == 1, cur[W], jnp.uint32(0))
+
+        acount = jnp.sum(alive)
+        arows = (acount + (_LANES - 1)) // _LANES
+        cursor = carry[W + 3].astype(jnp.int32)
+
+        dmas = [
+            pltpu.make_async_copy(
+                vout.at[w], out_refs[w].at[pl.ds(cursor, S), :], sem.at[w])
+            for w in range(W + 1)
+        ]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        # update carries from this block's (unlagged) final row — scalar
+        # extraction via masked reductions (Mosaic lowers signed-int
+        # reductions only; single-term i32 sums preserve u32 bit patterns)
+        last1 = jnp.where(fpos == n - 1, jnp.int32(1), jnp.int32(0))
+
+        def _last_u32(x):
+            xi = jax.lax.bitcast_convert_type(
+                x.astype(jnp.uint32), jnp.int32)
+            s = jnp.sum(xi * last1)
+            # scalar i32 -> u32 conversion is mod 2^32: bit pattern kept
+            return s.astype(jnp.uint32)
+
+        for w in range(W):
+            carry[w] = _last_u32(key[w])
+        carry[W] = _last_u32(cnt)
+        carry[W + 1] = _last_u32(sent)
+        carry[W + 2] = _last_u32(segstart)
+        carry[W + 3] = (cursor + arows).astype(jnp.uint32)
+        nd_ref[0] = nd_ref[0] + acount
+        nd_ref[1] = (cursor + arows) * _LANES
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("embedded", "ebits", "block_rows",
+                                   "interpret"))
+def segsum_compact(cols, *, embedded: bool, ebits: int,
+                   block_rows: int = _BLOCK_ROWS, interpret: bool = False):
+    """Fused segment-sum + compaction over sorted store columns.
+
+    cols: tuple of W uint32 key columns (count embedded in the last
+      word's low `ebits` when ``embedded``) or W+1 columns (separate
+      trailing count column sorted as least-significant key) — all flat
+      (N,), N a multiple of 128*block_rows, sorted, with at least one
+      trailing sentinel row.
+    Returns (W key cols + 1 count col, each (N + block_rows*128,),
+    nd_exact, nd_used): dense sorted distinct records with interspersed
+    sentinel pad rows in the first ``nd_used`` elements; everything
+    at index >= nd_used is garbage (caller masks).
+    """
+    W = len(cols) - (0 if embedded else 1)
+    N = cols[0].shape[0]
+    S = block_rows
+    if N % (S * _LANES):
+        raise ValueError(f"N={N} not a multiple of {S * _LANES}")
+    nblocks = N // (S * _LANES)
+    kern = _compact_kernel(W, S, embedded, ebits)
+
+    nin = len(cols)
+    out_rows = N // _LANES + S
+    out_shapes = (
+        [jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
+         for _ in range(W + 1)]
+        + [jax.ShapeDtypeStruct((2,), jnp.int32)]
+    )
+    grid = (nblocks,)
+    in_specs = [
+        pl.BlockSpec((S, _LANES), lambda i: (i, 0)) for _ in range(nin)
+    ]
+    out_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY) for _ in range(W + 1)]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.SMEM((W + 4,), jnp.uint32),
+            pltpu.VMEM((W + 1, S, _LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((W + 1,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*[jax.lax.bitcast_convert_type(c, jnp.uint32).reshape(-1, _LANES)
+        for c in cols])
+    okeys = [o.reshape(-1) for o in outs[:W]]
+    ocnt = outs[W].reshape(-1)
+    nd = outs[W + 1]
+    return tuple(okeys), ocnt, nd[0], nd[1]

@@ -400,11 +400,18 @@ def embed_bits(k: int) -> int:
 # compiled call.  Transfers (~45 MB/s, fully overlappable with compute)
 # are issued by the model layer while the previous superstep runs.
 
-@partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense"))
+@partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense",
+                                   "pallas"))
 def superstep_embedded(packed, sep, prefix, *, k: int, n: int, rows: int,
-                       ebits: int, dense: bool = False):
+                       ebits: int, dense: bool = False,
+                       pallas: str = "off"):
     """packed stream (+ separator info) + distinct prefix ->
-    (new prefix columns sliced to the prefix capacity, n_distinct).
+    (new prefix columns sliced to the prefix capacity, nd) where nd is
+    a (2,) int32 array [nd_exact, nd_used]: exact distinct count, and
+    the number of prefix rows occupied (>= nd_exact; the Pallas compact
+    path intersperses up to 127 sentinel pad rows per block boundary —
+    consumers mask count == 0 rows).  The XLA path packs densely so
+    nd_used == nd_exact there.
 
     ``sep`` is a sparse uint32 separator-index list (default) or, with
     ``dense=True``, the uint32 invalid bitmap (for inputs with > 1/32
@@ -412,39 +419,103 @@ def superstep_embedded(packed, sep, prefix, *, k: int, n: int, rows: int,
 
     Embedded-count formulation (ebits >= 21): the count travels in the
     trailing key word's low bits, so the merge is one W-column sort +
-    one partition sort.  The prefix is NOT donated: if n_distinct
-    overflows the capacity the caller re-pads the (still live) old
-    prefix and retries with a larger capacity.
+    one compaction.  ``pallas`` selects the post-sort compaction:
+    "off" = XLA partition sort (_compact_embedded), "on" = fused Pallas
+    kernel (ops/pallas_compact.py, measured 217 ms vs 466 ms at 36M
+    rows on the target chip), "interpret" = Pallas in interpreter mode
+    (CPU tests).  The prefix is NOT donated: if nd_used overflows the
+    capacity the caller re-pads the (still live) old prefix and retries
+    with a larger capacity.
     """
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
     codes = unpack_codes(packed, sep, n + k - 1) if dense \
         else unpack_codes_sparse(packed, sep, n + k - 1)
-    keys = window_keys_from_codes(codes, k, n, rows)
+    keys = _window_keys_any(codes, k, n, rows, pallas)
 
     cols = [jnp.concatenate([prefix[i], keys[i]]) for i in range(w - 1)]
     last = jnp.concatenate(
         [prefix[w - 1] | prefix[-1].astype(jnp.uint32), keys[w - 1] | jnp.uint32(1)]
     )
-    store, nd = _compact_embedded(cols + [last], ebits)
-    return tuple(c[:cap] for c in store), nd
+    if pallas == "off":
+        store, nd = _compact_embedded(cols + [last], ebits)
+        return tuple(c[:cap] for c in store), jnp.stack([nd, nd])
+    s = jax.lax.sort(tuple(cols + [last]), num_keys=w)
+    s = _B(s)
+    return _pallas_finish(s, cap, True, ebits, pallas == "interpret")
 
 
-@partial(jax.jit, static_argnames=("k", "n", "rows", "dense"))
+def _window_keys_any(codes, k: int, n: int, rows: int, pallas: str):
+    """Window extraction on the Pallas kernel when enabled and the shape
+    is block-compatible (n a multiple of 1024 -> block_rows >= 8),
+    otherwise the XLA formulation (bit-identical either way)."""
+    if pallas != "off" and n % 1024 == 0:
+        from .pallas_winkeys import window_keys_pallas
+        br = min(256, (n // 128) & -(n // 128))
+        return window_keys_pallas(codes, k=k, n=n, block_rows=br,
+                                  interpret=pallas == "interpret")
+    return window_keys_from_codes(codes, k, n, rows)
+
+
+@partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "pallas"))
 def superstep_plain(packed, sep, prefix, *, k: int, n: int, rows: int,
-                    dense: bool = False):
+                    dense: bool = False, pallas: str = "off"):
     """superstep for k values without >= 21 free trailing-word bits:
-    counts ride a separate int32 column through the merge."""
+    counts ride a separate int32 column through the merge.  Same
+    (prefix, [nd_exact, nd_used]) contract as superstep_embedded."""
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
     codes = unpack_codes(packed, sep, n + k - 1) if dense \
         else unpack_codes_sparse(packed, sep, n + k - 1)
-    keys = window_keys_from_codes(codes, k, n, rows)
+    keys = _window_keys_any(codes, k, n, rows, pallas)
 
     cols = [jnp.concatenate([prefix[i], keys[i]]) for i in range(w)]
     cnt = jnp.concatenate([prefix[-1], jnp.ones((n,), jnp.int32)])
-    store, nd = compact(tuple(cols) + (cnt,))
-    return tuple(c[:cap] for c in store), nd
+    if pallas == "off":
+        store, nd = compact(tuple(cols) + (cnt,))
+        return tuple(c[:cap] for c in store), jnp.stack([nd, nd])
+    # the count column sorts as the LEAST-significant key so each
+    # segment's last row carries its single non-unit count (the
+    # cumsum-free c_last trick in the kernel; pad/sentinel rows carry
+    # count 0 and are excluded by the alive mask)
+    s = jax.lax.sort(tuple(cols) + (cnt,), num_keys=w + 1)
+    s = _B(s)
+    return _pallas_finish(s, cap, False, 0, pallas == "interpret")
+
+
+def _pallas_finish(sorted_cols, cap: int, embedded: bool, ebits: int,
+                   interpret: bool):
+    """Post-sort half of the superstep on the Pallas compact kernel:
+    pad to block granularity with trailing sentinel rows (the kernel
+    requires N % (block_rows*128) == 0 and at least one trailing
+    sentinel so the lagged last row is decided), run the kernel, and
+    slice back to the prefix capacity."""
+    from . import pallas_compact as _pc
+
+    ncols = len(sorted_cols)
+    w = ncols if embedded else ncols - 1
+    n0 = sorted_cols[0].shape[0]
+    block = _pc.block_elems()
+    npad = block * (n0 // block + 1) - n0
+    padded = []
+    for i, c in enumerate(sorted_cols):
+        if not embedded and i == ncols - 1:
+            fill = jnp.zeros((npad,), c.dtype)          # count col: 0
+        else:
+            fill = jnp.full((npad,), SENTINEL, jnp.uint32)
+        padded.append(jnp.concatenate([c, fill]))
+    okeys, ocnt, nd, ndu = _pc.segsum_compact(
+        tuple(padded), embedded=embedded, ebits=ebits, interpret=interpret)
+    # The kernel writes whole blocks (compacted rows + sentinel fill),
+    # but rows beyond the final cursor's block are NEVER written —
+    # uninitialized device memory.  Sentinel-mask everything at or
+    # beyond nd_used so the next merge can't see garbage keys.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    junk = jax.lax.bitcast_convert_type((pos - ndu) >> 31, jnp.uint32) \
+        ^ SENTINEL                                    # all-ones iff pos >= ndu
+    out = tuple(kcol[:cap] | junk for kcol in okeys) \
+        + ((ocnt[:cap] & ~junk).astype(jnp.int32),)
+    return out, jnp.stack([nd, ndu])
 
 
 def _compact_embedded(cols, ebits: int):

@@ -19,7 +19,7 @@ from kaarme_tpu.ops import sortcount
 
 def drain(x):
     for leaf in jax.tree_util.tree_leaves(x):
-        np.asarray(leaf[:1])
+        np.asarray(leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf)
 
 
 def timeit(f, *args, reps=2):
