@@ -1,0 +1,459 @@
+"""Multi-host (multi-process) distributed counting.
+
+The reference is strictly single-node (SURVEY.md section 0: C++17 +
+pthreads on one machine); this module provides the scale-out the driver
+targets (BASELINE.md: chr20-scale input sharded across N >= 2 hosts,
+>= 80% scaling efficiency) the TPU-native way:
+
+- ``jax.distributed.initialize`` builds one global runtime; the mesh
+  spans every chip of every host and collectives ride ICI inside a
+  slice / DCN across slices (CPU testing uses gloo).
+- **input sharding is byte-span based**: host h owns the windows whose
+  first base lies in file bytes [h*size/H, (h+1)*size/H), reads ONLY
+  that span plus a forward halo of k-1 codes (the cross-host version of
+  the reference's k-1 chunk back-seek, include/text_reader.h:206-213),
+  and never communicates during streaming.
+- hosts agree on the number of global supersteps with a one-scalar
+  ``psum`` per round (a host whose span is exhausted feeds an all-
+  separator batch, which contributes zero windows), so the SPMD
+  programs stay in lockstep without a shared queue.
+- the only data exchange is the finalize ``all_to_all`` of distinct
+  records inherited from ShardedSortCounter.
+
+Launcher: every host runs
+
+    python -m kaarme_tpu.parallel.multihost INPUT KLEN \
+        --coordinator HOST0:PORT --num-processes H --process-id h \
+        -s SLOTS -o OUT
+
+and writes its hash-partition to ``OUT.part{h}`` (merge with
+``--merge-parts`` on a shared filesystem, or post-process the parts —
+they are disjoint by construction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ..io import reader as io_reader
+from ..io import fastio
+from ..utils import codec
+
+DEFAULT_CHUNK_BYTES = io_reader.DEFAULT_CHUNK_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Runtime init
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize the global JAX runtime across hosts.
+
+    Arguments default to the KAARME_COORDINATOR / KAARME_NUM_PROCS /
+    KAARME_PROC_ID environment variables; on TPU pods with a cluster
+    environment all three may be None (auto-detection).  CPU processes
+    use the gloo collectives backend (how the tests validate multi-host
+    without multi-host hardware).
+    """
+    import jax
+
+    coordinator = coordinator or os.environ.get("KAARME_COORDINATOR")
+    if num_processes is None and "KAARME_NUM_PROCS" in os.environ:
+        num_processes = int(os.environ["KAARME_NUM_PROCS"])
+    if process_id is None and "KAARME_PROC_ID" in os.environ:
+        process_id = int(os.environ["KAARME_PROC_ID"])
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_mesh(platform: str | None = None):
+    """1-D mesh over every device of every participating process."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices(platform) if platform else jax.devices()
+    return Mesh(np.asarray(devs), ("d",))
+
+
+# ---------------------------------------------------------------------------
+# Per-host input spans
+# ---------------------------------------------------------------------------
+
+def _find_line_start(f, pos: int, block: int = 1 << 16) -> int:
+    """Byte offset of the first character of the line containing pos."""
+    while pos > 0:
+        lo = max(0, pos - block)
+        f.seek(lo)
+        buf = f.read(pos - lo)
+        j = buf.rfind(b"\n")
+        if j >= 0:
+            return lo + j + 1
+        pos = lo
+    return 0
+
+
+class HostSpanReader:
+    """Encoded code chunks for ONE host's byte span of a shared input.
+
+    Ownership contract: the union over hosts of the windows produced
+    from each host's (span + forward halo) equals the single-host
+    window multiset, each window exactly once.
+
+    - span: bytes [h*size/H, (h+1)*size/H); encoding starts there, so
+      the first code is the first base at or after the span start (a
+      FASTA span starting inside a header line resumes in skip-header
+      state, determined by one backward line scan);
+    - forward halo: after the span, encoding continues until k-1 codes
+      were collected OR a separator code appears (a separator kills
+      every window that reaches it, so nothing after it can matter) —
+      windows never *start* in the halo because a length-L code stream
+      produces L-k+1 windows;
+    - formats: fasta + plain.  Multi-host gzip is rejected (no random
+      access; decompress or split first), FASTQ is rejected (restart
+      markers are ambiguous mid-file).
+    """
+
+    def __init__(self, path: str, host_id: int, num_hosts: int, k: int,
+                 chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                 fmt: str | None = None, gzipped: bool | None = None):
+        if not (0 <= host_id < num_hosts):
+            raise ValueError("host_id out of range")
+        if fmt is None or gzipped is None:
+            fmt, gzipped = io_reader.sniff_format(path)
+        if gzipped:
+            raise ValueError(
+                "multi-host gzip input is not supported (gzip has no random "
+                "access): decompress first or pre-split into per-host files")
+        if fmt == "fastq":
+            raise ValueError("multi-host FASTQ is not supported yet; "
+                             "pre-split into per-host files")
+        self.path, self.fmt, self.k = path, fmt, k
+        self.chunk_bytes = int(chunk_bytes)
+        size = os.path.getsize(path)
+        self.begin = host_id * size // num_hosts
+        self.end = (host_id + 1) * size // num_hosts
+        self.size = size
+
+    def _encode(self, buf: bytes, in_header: bool):
+        if self.fmt == "fasta":
+            return fastio.encode_fasta(buf, in_header)
+        return fastio.encode_plain(buf), False
+
+    def __iter__(self):
+        with open(self.path, "rb") as f:
+            in_header = False
+            if self.fmt == "fasta" and self.begin > 0:
+                ls = _find_line_start(f, self.begin)
+                f.seek(ls)
+                if f.read(1) == b">":
+                    # the span starts inside a header line: stay in
+                    # skip-until-newline state (the '>' owner emits the
+                    # separator for this record boundary)
+                    in_header = True
+            f.seek(self.begin)
+            remaining = self.end - self.begin
+            while remaining > 0:
+                buf = f.read(min(self.chunk_bytes, remaining))
+                if not buf:
+                    break
+                remaining -= len(buf)
+                codes, in_header = self._encode(buf, in_header)
+                if codes.shape[0]:
+                    yield codes
+            # forward halo: k-1 codes, or up to the first separator
+            if self.end >= self.size:
+                return
+            need = self.k - 1
+            halo = []
+            while need > 0:
+                buf = f.read(min(self.chunk_bytes, 1 << 20))
+                if not buf:
+                    break
+                codes, in_header = self._encode(buf, in_header)
+                if not codes.shape[0]:
+                    continue
+                seps = np.flatnonzero(codes[:need] >= codec.SEP)
+                if seps.size:
+                    # a separator within the halo kills every window
+                    # that reaches it — include it, then stop
+                    halo.append(codes[: seps[0] + 1])
+                    break
+                take = codes[:need]
+                halo.append(take)
+                need -= take.shape[0]
+            if halo:
+                yield np.concatenate(halo)
+
+
+def host_span_codes(path: str, host_id: int, num_hosts: int, k: int, **kw):
+    """Whole-span convenience: this host's full encoded stream."""
+    chunks = list(HostSpanReader(path, host_id, num_hosts, k, **kw))
+    if not chunks:
+        return np.empty(0, np.uint8)
+    return np.concatenate(chunks)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host counter
+# ---------------------------------------------------------------------------
+
+def _make_multihost_cls():
+    """Deferred so importing this module never forces a jax import."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from .sharded_sort import ShardedSortCounter
+
+    class MultiHostSortCounter(ShardedSortCounter):
+        """ShardedSortCounter over a global multi-process mesh.
+
+        Streaming is host-local (each host's devices consume the host's
+        byte span); the per-round lockstep flag and the finalize
+        exchange are the only collectives.  Every jitted
+        step/merge/exchange program is the identical SPMD program on
+        every host.
+        """
+
+        def __init__(self, config, mesh=None):
+            if mesh is None:
+                mesh = global_mesh()
+            devs = list(mesh.devices.flat)
+            platform = devs[0].platform
+            self.pid = jax.process_index(backend=platform)
+            self.nproc = jax.process_count(backend=platform)
+            self.local_devs = [d for d in devs if d.process_index == self.pid]
+            self.nloc = len(self.local_devs)
+            super().__init__(config, mesh)
+            self._flag = jax.jit(shard_map(
+                lambda x: jax.lax.psum(x, "d")[None],
+                mesh=mesh, in_specs=P("d"), out_specs=P("d")))
+
+        # -- placement overrides (local shards only) ---------------------
+
+        def _put_local(self, local_rows: np.ndarray):
+            """(nloc, ...) host rows for this process's mesh devices ->
+            global (ndev, ...) array."""
+            a = np.asarray(local_rows)
+            gshape = (self.ndev,) + a.shape[1:]
+            shards = [jax.device_put(a[j:j + 1], d)
+                      for j, d in enumerate(self.local_devs)]
+            return jax.make_array_from_single_device_arrays(
+                gshape, self._sharding2, shards)
+
+        def _put_const(self, fill, dtype, cap: int):
+            return self._put_local(np.full((self.nloc, cap), fill, dtype))
+
+        def _put_rows(self, rows_np: np.ndarray):
+            # base-class _flush is not used multi-host; guard anyway
+            if rows_np.shape[0] == self.nloc:
+                return self._put_local(rows_np)
+            raise RuntimeError("use count_file/count_codes on the "
+                               "multi-host counter")
+
+        # -- counting -----------------------------------------------------
+
+        def count_file(self, path: str,
+                       chunk_bytes: int = DEFAULT_CHUNK_BYTES, **kw):
+            reader = HostSpanReader(path, self.pid, self.nproc, self.cfg.k,
+                                    chunk_bytes=chunk_bytes)
+            return self.count_codes_stream(iter(reader))
+
+        def count_codes(self, codes: np.ndarray):
+            """Count THIS host's span codes (lockstep rounds with peers)."""
+            return self.count_codes_stream(
+                iter([np.asarray(codes, np.uint8)]))
+
+        def count_codes_stream(self, chunks):
+            cfg = self.cfg
+            k = cfg.k
+            sb = self.nloc * cfg.batch_windows  # host windows per round
+            pending: list = []
+            pending_n = 0
+            exhausted = False
+            while True:
+                while not exhausted and pending_n < sb + k - 1:
+                    try:
+                        c = next(chunks)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    pending.append(np.asarray(c, np.uint8))
+                    pending_n += pending[-1].shape[0]
+                have = 1 if pending_n >= k else 0
+                flags = self._flag(self._put_local(
+                    np.full((self.nloc,), have, np.int32)))
+                if self._scalar(flags.addressable_shards[0].data[:1]) == 0:
+                    break
+                stream = np.concatenate(pending) if pending else \
+                    np.empty(0, np.uint8)
+                n_real = max(stream.shape[0] - k + 1, 0) if have else 0
+                span = np.full(sb + k - 1, codec.SEP, np.uint8)
+                m = min(stream.shape[0], span.shape[0])
+                span[:m] = stream[:m]
+                leftover = stream[sb:] if stream.shape[0] > sb else \
+                    np.empty(0, np.uint8)
+                pending = [leftover] if leftover.shape[0] else []
+                pending_n = int(leftover.shape[0])
+                self._host_flush(span, min(n_real, sb))
+            self._merge()
+            return self
+
+        def finish(self):
+            raise RuntimeError("multi-host counting is round-driven: use "
+                               "count_file / count_codes")
+
+        def _host_flush(self, stream: np.ndarray, n_real: int):
+            """Local-span _flush: pack rows for this host's devices only."""
+            if self._exchanged:
+                raise RuntimeError("cannot add input after finalize")
+            cfg = self.cfg
+            k, n = cfg.k, cfg.batch_windows
+            nwords = (n + k - 1 + 15) // 16
+            mwords = (n + k - 1 + 31) // 32
+            packed = np.zeros((self.nloc, nwords), np.uint32)
+            maskw = np.full((self.nloc, mwords), 0xFFFFFFFF, np.uint32)
+            for j in range(self.nloc):
+                span = stream[j * n: (j + 1) * n + k - 1]
+                p, m = fastio.pack_stream(span)
+                maskw[j, :] = 0
+                packed[j, : p.shape[0]] = p
+                maskw[j, : m.shape[0]] = m
+            self.runs.append(self._step(self._put_local(packed),
+                                        self._put_local(maskw)))
+            self.stats["batches"] += 1
+            self.stats["windows_processed"] += max(n_real, 0)
+            if len(self.runs) >= cfg.merge_every:
+                self._merge()
+
+        # -- output -------------------------------------------------------
+
+        def dump(self):
+            return self.dump_local()
+
+        def dump_local(self):
+            """This host's hash-partition of the distinct set: (keys
+            (N, W) uint32 sorted, counts (N,) int64).  Partitions are
+            disjoint across hosts (owner = top hash bits)."""
+            self.finalize_exchange()
+            w = self.cfg.words
+            cols = []
+            for c in self.prefix:
+                shards = sorted(c.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                cols.append(np.concatenate(
+                    [np.asarray(jax.device_get(s.data)).reshape(-1)
+                     for s in shards]))
+            cnt = cols[-1].astype(np.int64)
+            alive = cnt > 0
+            keys = np.stack([c[alive] for c in cols[:w]], axis=1)
+            cnt = cnt[alive]
+            order = np.lexsort(
+                tuple(keys[:, i] for i in range(w - 1, -1, -1)))
+            return keys[order], cnt[order]
+
+        def write_output_part(self, path: str) -> int:
+            """Write this host's partition to ``path.part{pid}``."""
+            out = f"{path}.part{self.pid}"
+            return self.write_output(out)   # write_output rides dump()
+
+        def occupancy(self):
+            self._merge()
+            cnt = np.concatenate(
+                [np.asarray(jax.device_get(s.data)).reshape(-1)
+                 for s in self.prefix[-1].addressable_shards])
+            return int((cnt > 0).sum()), int(cnt.size)
+
+    return MultiHostSortCounter
+
+
+_MultiHostSortCounter = None
+
+
+def MultiHostSortCounter(config, mesh=None):
+    """Factory for the multi-host counter class (lazy jax import)."""
+    global _MultiHostSortCounter
+    if _MultiHostSortCounter is None:
+        _MultiHostSortCounter = _make_multihost_cls()
+    return _MultiHostSortCounter(config, mesh)
+
+
+def merge_parts(out_path: str, num_parts: int):
+    """Concatenate + sort per-host part files into one output file
+    (partitions are disjoint, so this is a pure merge)."""
+    lines = []
+    for h in range(num_parts):
+        with open(f"{out_path}.part{h}", "rb") as f:
+            lines.extend(f.read().splitlines())
+    lines.sort()
+    with open(out_path, "wb") as f:
+        f.write(b"\n".join(lines) + (b"\n" if lines else b""))
+    return len(lines)
+
+
+# ---------------------------------------------------------------------------
+# Launcher
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="kaarme_tpu.multihost",
+        description="Multi-host canonical k-mer counting (one process per host)")
+    ap.add_argument("INPUT")
+    ap.add_argument("KLEN", type=int)
+    ap.add_argument("--coordinator", default=None,
+                    help="host0 address:port (or KAARME_COORDINATOR)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="device platform for the mesh (default: runtime default)")
+    ap.add_argument("-s", "--hash-tab-size", type=int, default=0)
+    ap.add_argument("-m", "--hash-table-type", type=int, default=2)
+    ap.add_argument("-a", "--min-k-abu", type=int, default=2)
+    ap.add_argument("-o", "--output-file", required=True)
+    ap.add_argument("--batch-log2", type=int, default=20)
+    ap.add_argument("--merge-parts", action="store_true",
+                    help="after counting, process 0 merges all part files "
+                         "(requires a shared filesystem)")
+    args = ap.parse_args(argv)
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    from .sharded_sort import ShardedSortConfig
+
+    cfg = ShardedSortConfig(
+        k=args.KLEN, mode=args.hash_table_type, min_abundance=args.min_k_abu,
+        batch_windows=1 << args.batch_log2,
+        rows=1 << (args.batch_log2 // 2),
+        prefix_cap=1 << max(10, args.batch_log2 - 2),
+    )
+    c = MultiHostSortCounter(cfg, global_mesh(args.platform))
+    c.count_file(args.INPUT)
+    n = c.write_output_part(args.output_file)
+    print(f"host {c.pid}/{c.nproc}: {n} k-mers -> "
+          f"{args.output_file}.part{c.pid}", flush=True)
+    if args.merge_parts:
+        import jax
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("kaarme_parts")
+        if c.pid == 0:
+            total = merge_parts(args.output_file, c.nproc)
+            print(f"merged {total} k-mers -> {args.output_file}", flush=True)
+        multihost_utils.sync_global_devices("kaarme_done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

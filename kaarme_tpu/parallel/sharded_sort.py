@@ -71,11 +71,8 @@ class ShardedSortCounter:
         cap = config.prefix_cap
         self._sharding2 = NamedSharding(self.mesh, P("d", None))
         self.prefix = tuple(
-            jax.device_put(
-                jnp.full((self.ndev, cap), sortcount.SENTINEL, jnp.uint32),
-                self._sharding2)
-            for _ in range(w)
-        ) + (jax.device_put(jnp.zeros((self.ndev, cap), jnp.int32), self._sharding2),)
+            self._put_const(0xFFFFFFFF, np.uint32, cap) for _ in range(w)
+        ) + (self._put_const(0, np.int32, cap),)
         self.runs = []              # list of key tuples, each (ndev, n) uint32
         self._carry = np.empty(0, np.uint8)
         self._pending = []
@@ -105,7 +102,10 @@ class ShardedSortCounter:
             nrun = sum(r[0].shape[1] for r in runs)
             cnt = jnp.concatenate([prefix[-1][0], jnp.ones((nrun,), jnp.int32)])
             store, nd = sortcount.compact(tuple(cols) + (cnt,))
-            return tuple(c[None, :] for c in store) + (nd[None],)
+            # replicated global max so every process agrees on growth
+            # decisions without gathering non-addressable shards
+            return tuple(c[None, :] for c in store) + (nd[None],
+                                                       jax.lax.pmax(nd, "d"))
 
         self._merge_fn = merge_body  # jitted lazily per run-count/shape
 
@@ -139,13 +139,36 @@ class ShardedSortCounter:
                                        tiled=False)
                 recv.append(a.reshape(ndev * p))
             store, nd = sortcount.compact(tuple(recv[:w]) + (recv[w],))
-            return tuple(c[None, :] for c in store) + (nd[None],)
+            return tuple(c[None, :] for c in store) + (nd[None],
+                                                       jax.lax.pmax(nd, "d"))
 
         self._exchange = jax.jit(jax.shard_map(
             exchange_body, mesh=self.mesh,
             in_specs=(tuple(P("d", None) for _ in range(w + 1)),),
-            out_specs=tuple(P("d", None) for _ in range(w + 1)) + (P("d"),),
+            out_specs=tuple(P("d", None) for _ in range(w + 1)) + (P("d"), P()),
         ))
+        self._resize_jits = {}
+
+    # -- placement (overridden by the multi-host subclass) -------------------
+
+    def _put_const(self, fill, dtype, cap: int):
+        """Global (ndev, cap) constant store column."""
+        return jax.device_put(
+            jnp.full((self.ndev, cap), fill, dtype), self._sharding2)
+
+    def _put_rows(self, rows_np: np.ndarray):
+        """Global (ndev, n) array from per-device host rows (this
+        process's rows only under multi-process)."""
+        return jax.device_put(jnp.asarray(rows_np), self._sharding2)
+
+    @staticmethod
+    def _scalar(x) -> int:
+        """Read a replicated/global scalar in a multi-process-safe way."""
+        try:
+            return int(np.asarray(x))
+        except Exception:
+            return int(np.asarray(
+                jax.device_get(x.addressable_shards[0].data)))
 
     # -- streaming ---------------------------------------------------------
 
@@ -203,8 +226,8 @@ class ShardedSortCounter:
             p, m = fastio.pack_stream(span)
             packed[d, : p.shape[0]] = p
             maskw[d, : m.shape[0]] = m
-        packed_d = jax.device_put(jnp.asarray(packed), self._sharding2)
-        maskw_d = jax.device_put(jnp.asarray(maskw), self._sharding2)
+        packed_d = self._put_rows(packed)
+        maskw_d = self._put_rows(maskw)
         self.runs.append(self._step(packed_d, maskw_d))
         self.stats["batches"] += 1
         self.stats["windows_processed"] += max(n_real, 0)
@@ -228,32 +251,49 @@ class ShardedSortCounter:
                 in_specs=(tuple(P("d", None) for _ in range(w + 1)),
                           [tuple(P("d", None) for _ in range(w))
                            for _ in self.runs]),
-                out_specs=tuple(P("d", None) for _ in range(w + 1)) + (P("d"),),
+                out_specs=tuple(P("d", None) for _ in range(w + 1))
+                + (P("d"), P()),
             ))
         merged = self._merge_jits[key](self.prefix, self.runs)
-        store, nd = merged[:-1], merged[-1]
+        store, nd_max = merged[:-2], merged[-1]
         self.runs = []
-        self._retain(store, int(np.asarray(nd).max()))
+        self._retain(store, self._scalar(nd_max))
         self.stats["compactions"] += 1
 
     def _retain(self, store, nd_max: int):
         """Keep a prefix_cap-sized slice of the merged store (growing the
-        cap first if any shard's distinct count would not fit)."""
+        cap first if any shard's distinct count would not fit).  The
+        resize is a shard-local jitted program (no collectives) so it is
+        multi-process-safe."""
         while nd_max > self.cfg.prefix_cap:
             self.cfg.prefix_cap *= 2
             self.stats["grow_events"] += 1
         cap = self.cfg.prefix_cap
         total = store[-1].shape[1]
-        if cap <= total:
-            self.prefix = tuple(col[:, :cap] for col in store)
-        else:
-            pad = cap - total
-            self.prefix = tuple(
-                jnp.concatenate(
-                    [col, sortcount.dead_fill((self.ndev, pad), col.dtype)],
-                    axis=1)
-                for col in store
-            )
+        if cap == total:
+            self.prefix = store
+            return
+        w = self.cfg.words
+        key = (total, cap)
+        if key not in self._resize_jits:
+            def resize_body(cols):
+                out = []
+                for c2 in cols:
+                    c = c2[0]
+                    if cap <= c.shape[0]:
+                        out.append(c[:cap][None])
+                    else:
+                        out.append(jnp.concatenate(
+                            [c, sortcount.dead_fill((cap - c.shape[0],),
+                                                    c.dtype)])[None])
+                return tuple(out)
+
+            self._resize_jits[key] = jax.jit(jax.shard_map(
+                resize_body, mesh=self.mesh,
+                in_specs=(tuple(P("d", None) for _ in range(w + 1)),),
+                out_specs=tuple(P("d", None) for _ in range(w + 1)),
+            ))
+        self.prefix = self._resize_jits[key](tuple(store))
 
     def finalize_exchange(self):
         """Route distinct records to hash-prefix owner shards (one
@@ -262,8 +302,8 @@ class ShardedSortCounter:
         if self._exchanged:
             return
         out = self._exchange(self.prefix)
-        store, nd = out[:-1], out[-1]
-        self._retain(store, int(np.asarray(nd).max()))
+        store, nd_max = out[:-2], out[-1]
+        self._retain(store, self._scalar(nd_max))
         self._exchanged = True
 
     # -- output ------------------------------------------------------------

@@ -103,11 +103,25 @@ def main():
     t, _ = timeit(sp, sorted_cols)
     print(f"segsum+partition {nrows>>20}M: {t*1e3:7.0f}ms")
 
-    # fused superstep
-    f = partial(sortcount.superstep_embedded, k=k, n=n, rows=rows, ebits=eb)
-    t, (_, nd) = timeit(f, packed_d, sep_d, prefix)
-    print(f"fused superstep: {t*1e3:7.0f}ms -> {n/t/1e6:.0f} M windows/s "
-          f"(nd={int(nd)})")
+    # phase 2b: Pallas window kernel
+    from kaarme_tpu.ops.pallas_winkeys import window_keys_pallas
+    wkp = jax.jit(lambda c: window_keys_pallas(c, k=k, n=n))
+    t, _ = timeit(wkp, codes_d)
+    print(f"window_keys pallas: {t*1e3:7.0f}ms -> {n/t/1e6:.0f} M windows/s")
+
+    # phase 4b: Pallas compact kernel (via _pallas_finish)
+    pf = jax.jit(lambda s: sortcount._pallas_finish(s, cap, True, eb, False))
+    t, _ = timeit(pf, sorted_cols)
+    print(f"pallas compact: {t*1e3:7.0f}ms")
+
+    # fused superstep, both compaction paths
+    for pal in ("off", "on"):
+        f = partial(sortcount.superstep_embedded, k=k, n=n, rows=rows,
+                    ebits=eb, pallas=pal)
+        t, (_, nd) = timeit(f, packed_d, sep_d, prefix)
+        nde = int(np.asarray(nd)[0])
+        print(f"fused superstep[{pal:3s}]: {t*1e3:7.0f}ms -> "
+              f"{n/t/1e6:.0f} M windows/s (nd={nde})")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,138 @@
+"""Multi-host distribution (kaarme_tpu/parallel/multihost.py).
+
+Two layers:
+- pure-host span/halo logic: the union of per-host window multisets
+  must equal the single-host multiset exactly (the cross-host analogue
+  of the reference's k-1 chunk back-seek, include/text_reader.h:206-213);
+- a real 2-process x 4-CPU-device run through jax.distributed + gloo
+  collectives: counts a shared FASTA, exchanges distinct records
+  across processes, writes disjoint partitions, and the merged parts
+  must equal the golden oracle.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from kaarme_tpu.parallel.multihost import (  # noqa: E402
+    HostSpanReader, host_span_codes, merge_parts)
+from kaarme_tpu.utils import codec  # noqa: E402
+
+
+def _random_fasta(tmp_path, seed=0, n_reads=300, read_len=90, glen=4000,
+                  wrap=33):
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=glen).astype(np.uint8)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    path = tmp_path / "mh.fasta"
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            start = int(rng.integers(0, glen - read_len))
+            read = bytearray(lut[genome[start:start + read_len]].tobytes())
+            if i % 17 == 0:
+                read[int(rng.integers(0, read_len))] = ord("N")
+            f.write(b">read%d some description\n" % i)
+            # wrapped lines so spans start mid-record and mid-line
+            for j in range(0, len(read), wrap):
+                f.write(bytes(read[j:j + wrap]) + b"\n")
+    return str(path)
+
+
+def _counts_sum(dicts):
+    out = {}
+    for d in dicts:
+        for kk, v in d.items():
+            out[kk] = out.get(kk, 0) + v
+    return out
+
+
+@pytest.mark.parametrize("num_hosts", [2, 3, 5])
+@pytest.mark.parametrize("k", [7, 31])
+def test_host_span_union_is_exact(tmp_path, num_hosts, k):
+    path = _random_fasta(tmp_path, seed=num_hosts * 100 + k)
+    full = codec.golden_count(
+        codec.encode_fasta(open(path, "rb").read())[0], k)
+    parts = []
+    for h in range(num_hosts):
+        codes = host_span_codes(path, h, num_hosts, k)
+        parts.append(codec.golden_count(codes, k) if codes.size else {})
+    assert _counts_sum(parts) == full
+
+
+def test_host_span_plain_and_tiny_spans(tmp_path):
+    # plain one-read-per-line input; more hosts than lines covers
+    # empty-span hosts and spans starting on newline bytes
+    path = str(tmp_path / "p.txt")
+    with open(path, "wb") as f:
+        f.write(b"ACGTACGTGGATTTACGT\nACGTNACGTT\nTTTTTTTTTTTT\n")
+    k = 5
+    full = codec.golden_count(
+        codec.encode_plain(open(path, "rb").read()), k)
+    for H in (2, 4, 8):
+        parts = [codec.golden_count(host_span_codes(path, h, H, k), k)
+                 for h in range(H)]
+        assert _counts_sum(parts) == full, H
+
+
+def test_host_span_rejects_gzip_and_fastq(tmp_path):
+    import gzip
+
+    gz = str(tmp_path / "x.fasta.gz")
+    with gzip.open(gz, "wb") as f:
+        f.write(b">r\nACGT\n")
+    with pytest.raises(ValueError):
+        HostSpanReader(gz, 0, 2, 5)
+    fq = str(tmp_path / "x.fastq")
+    with open(fq, "wb") as f:
+        f.write(b"@r\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError):
+        HostSpanReader(fq, 0, 2, 5)
+
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, %(repo)r)
+sys.argv = ["mh", %(fasta)r, "31",
+            "--coordinator", "localhost:%(port)d",
+            "--num-processes", "2", "--process-id", sys.argv[1],
+            "--platform", "cpu", "-a", "1",
+            "--batch-log2", "12", "-o", %(out)r]
+from kaarme_tpu.parallel.multihost import main
+sys.exit(main())
+"""
+
+
+@pytest.mark.slow
+def test_two_process_end_to_end(tmp_path):
+    """2 jax processes x 4 CPU devices: global mesh, gloo collectives,
+    cross-process all_to_all exchange, disjoint output partitions."""
+    path = _random_fasta(tmp_path, seed=7, n_reads=400)
+    out = str(tmp_path / "mh.counts")
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(_WORKER % {"repo": REPO, "fasta": path, "out": out,
+                           "port": 29571})
+    env = dict(os.environ)
+    procs = [subprocess.Popen([sys.executable, worker, str(pid)], env=env,
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    total = merge_parts(out, 2)
+    got = {}
+    for line in open(out):
+        kk, v = line.split()
+        assert kk not in got          # partitions are disjoint
+        got[kk] = int(v)
+    assert total == len(got)
+    golden = codec.golden_count(
+        codec.encode_fasta(open(path, "rb").read())[0], 31)
+    assert got == golden
