@@ -105,7 +105,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=51)
     ap.add_argument("--genome-mb", type=float, default=4.6)
-    ap.add_argument("--coverage", type=int, default=8)
+    ap.add_argument("--coverage", type=int, default=30,
+                    help="read coverage depth (30x = standard Illumina "
+                         "sequencing depth; also long enough to measure "
+                         "the pipeline's steady state instead of the "
+                         "first-transfer latency)")
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch-log2", type=int, default=23)
     ap.add_argument("--rows-log2", type=int, default=12)

@@ -79,11 +79,17 @@ class SortCounterConfig:
         padding on the final (tail) superstep to < one row-block."""
         return min(-(-max(r, 1) // self.rows) * self.rows, self.superstep_windows)
 
-    def sep_budget(self, n: int) -> int:
-        """Sparse separator-index capacity shipped per superstep: n/32
-        covers any read length >= 31; denser separator streams fall back
-        to the dense-bitmap superstep variant."""
-        return max(n // 32, 32)
+    def sep_budget(self, n: int, n_seps: int = -1) -> int:
+        """Sparse separator-index capacity shipped per superstep.
+        Two static sizes keep compile variants bounded: n/128 (read
+        length >= 127 — typical short-read data; 25% less transfer than
+        n/32 at the link's measured ~50 MB/s) and n/32 (read length
+        >= 31); denser separator streams fall back to the dense-bitmap
+        superstep variant."""
+        small, big = max(n // 128, 32), max(n // 32, 32)
+        if 0 <= n_seps <= small:
+            return small
+        return big
 
 
 class SortKmerCounter:
@@ -98,10 +104,24 @@ class SortKmerCounter:
         self._carry = np.empty(0, np.uint8)
         self._pending = []      # encoded chunks awaiting a full superbatch
         self._pending_n = 0
-        # in-flight superstep: (new_prefix, nd_handle, replay) where
-        # replay = (packed_d, sep_d, n, dense, old_prefix) is kept until
-        # the distinct count is verified to fit the capacity
-        self._inflight = None
+        # in-flight supersteps: deque of (new_prefix, nd_handle, replay),
+        # replay = (packed_d, sep_d, n, dense, old_prefix).  Dispatch is
+        # OPTIMISTIC: superstep s+1 chains on s's (unverified) output
+        # prefix on device; capacity verification trails behind by up to
+        # _max_inflight steps (waiting on each nd before the next
+        # dispatch would serialize the device — measured 89M vs 24M
+        # windows/s).  On overflow every trailing superstep is replayed
+        # from its kept inputs at the grown capacity.
+        import collections
+        import concurrent.futures as _cf
+
+        self._inflight = collections.deque()
+        self._max_inflight = 2
+        # single-worker pool: superbatch s+1's host pack overlaps
+        # superstep s's device compute
+        self._pool = _cf.ThreadPoolExecutor(max_workers=1)
+        self._prepped = []   # packed superbatches awaiting transfer
+        self._ready = None   # transferred superbatch awaiting dispatch
         self.stats = {
             "windows_processed": 0,
             "batches": 0,
@@ -136,6 +156,7 @@ class SortKmerCounter:
         self._carry = np.empty(0, np.uint8)
         if stream.shape[0] >= self.cfg.k:
             self._process_stream(stream, stream.shape[0] - self.cfg.k + 1)
+        self._launch(final=True)
         self._drain()
 
     def count_codes(self, codes: np.ndarray):
@@ -155,13 +176,27 @@ class SortKmerCounter:
 
     # -- device steps ------------------------------------------------------
 
+    # Pipeline ordering (measured, scripts/profile_superstep.py + the
+    # overlap probe recorded in DESIGN.md): a host->device transfer
+    # issued BEFORE a compute dispatch blocks that dispatch until the
+    # copy lands (worst case), while one issued right AFTER overlaps
+    # ~half the copy with the running compute.  So per superbatch:
+    #   worker thread:  pack s+1 (numpy/C++, overlaps everything)
+    #   main thread:    drain s-1 -> dispatch s -> device_put s+1
+    # which keeps every copy strictly behind a dispatch.
+
     def _process_stream(self, stream: np.ndarray, n_windows: int):
-        """Pack one superbatch, ship it, drain the PREVIOUS superstep,
-        then dispatch this one.  The host pack + transfer of superbatch
-        s+1 happen while superstep s runs on device (transfers overlap
-        compute on this backend — scripts/profile_transfer.py), so the
-        only serialized host work is the ~26 ms dispatch itself."""
-        t0 = time.perf_counter()
+        self._prepped.append(
+            self._pool.submit(self._prepare, stream, n_windows))
+        # steady state: keep one packed superbatch queued so its
+        # transfer can be issued right after this round's dispatch
+        if len(self._prepped) > 1:
+            self._launch(final=False)
+
+    def _prepare(self, stream: np.ndarray, n_windows: int):
+        """Worker-thread half: pad, 2-bit pack, build separator stream
+        (host arrays only — the transfer is issued by the main thread
+        after the next dispatch)."""
         cfg = self.cfg
         k = cfg.k
         n = n_windows if n_windows == cfg.superstep_windows \
@@ -174,20 +209,39 @@ class SortKmerCounter:
         stream = stream[:need]
         packed, _maskw = fastio.pack_stream(stream)
         seps = np.flatnonzero(stream >= 4).astype(np.uint32)
-        budget = cfg.sep_budget(n)
+        budget = cfg.sep_budget(n, seps.shape[0])
         if seps.shape[0] <= budget:
             sep = np.full(budget, need, np.uint32)  # out-of-range pad
             sep[: seps.shape[0]] = seps
             dense = False
         else:
             sep, dense = _maskw, True
-        packed_d = jax.device_put(jnp.asarray(packed))
-        sep_d = jax.device_put(jnp.asarray(sep))
+        return packed, sep, n, dense, n_windows
 
-        self._drain()  # blocks on superstep s-1's distinct count
-        self._dispatch(packed_d, sep_d, n, dense)
-        self.stats["batches"] += 1
-        self.stats["windows_processed"] += n_windows
+    def _put(self, prep):
+        packed, sep, n, dense, n_windows = prep
+        return (jax.device_put(jnp.asarray(packed)),
+                jax.device_put(jnp.asarray(sep)), n, dense, n_windows)
+
+    def _launch(self, final: bool):
+        """Main-thread half: dispatch the transferred superbatch (if
+        any), then issue the next packed superbatch's transfer so it
+        overlaps the compute just dispatched."""
+        t0 = time.perf_counter()
+        if self._ready is None and self._prepped:
+            # pipeline warm-up: first transfer has nothing to overlap
+            self._ready = self._put(self._prepped.pop(0).result())
+        if self._ready is not None:
+            packed_d, sep_d, n, dense, n_windows = self._ready
+            self._ready = None
+            self._drain(keep=self._max_inflight)
+            self._dispatch(packed_d, sep_d, n, dense)
+            self.stats["batches"] += 1
+            self.stats["windows_processed"] += n_windows
+        if self._prepped:
+            self._ready = self._put(self._prepped.pop(0).result())
+            if final:
+                self._launch(final=True)
         self.stats["build_seconds"] += time.perf_counter() - t0
 
     def _pallas_mode(self) -> str:
@@ -217,34 +271,41 @@ class SortKmerCounter:
             new_prefix, nd = sortcount.superstep_plain(
                 packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
                 dense=dense, pallas=self._pallas_mode())
-        self._inflight = (new_prefix, nd, (packed_d, sep_d, n, dense, self.prefix))
+        self._inflight.append(
+            (new_prefix, nd, (packed_d, sep_d, n, dense, self.prefix)))
+        # optimistic: later supersteps chain on this (unverified) output
+        self.prefix = new_prefix
 
-    def _drain(self):
-        """Resolve the in-flight superstep: accept its prefix, or grow
-        the capacity and replay it (the old prefix and the superbatch
-        inputs stay live until the distinct count is verified)."""
-        while self._inflight is not None:
-            new_prefix, nd_h, replay = self._inflight
-            self._inflight = None
+    def _drain(self, keep: int = 0):
+        """Verify in-flight supersteps down to ``keep`` outstanding:
+        accept each prefix, or grow the capacity and replay the
+        overflowing superstep AND everything dispatched after it (their
+        inputs stay live in the deque until verified)."""
+        while len(self._inflight) > keep:
+            new_prefix, nd_h, replay = self._inflight.popleft()
             nd_exact, nd = (int(x) for x in np.asarray(nd_h))
             if nd <= self.cfg.prefix_cap:
-                self.prefix = new_prefix
                 self.n_distinct = nd_exact
                 self.n_used = nd
                 self.stats["compactions"] += 1
-                return
+                continue
             # grow-and-replay: double the capacity until it fits, re-pad
-            # the still-live old prefix, and re-run the same superbatch
-            packed_d, sep_d, n, dense, old_prefix = replay
+            # the still-live pre-overflow prefix, and re-run this
+            # superbatch plus every optimistically-chained one after it
+            replays = [replay] + [r for (_, _, r) in self._inflight]
+            self._inflight.clear()
             while nd > self.cfg.prefix_cap:
                 self.cfg.prefix_cap *= 2
                 self.stats["grow_events"] += 1
+            old_prefix = replay[-1]
             pad = self.cfg.prefix_cap - old_prefix[0].shape[0]
             self.prefix = tuple(
                 jnp.concatenate([col, sortcount.dead_fill((pad,), col.dtype)])
                 for col in old_prefix
             )
-            self._dispatch(packed_d, sep_d, n, dense)
+            for packed_d, sep_d, n, dense, _old in replays:
+                self._dispatch(packed_d, sep_d, n, dense)
+                self._drain(keep=0)  # verify each replay synchronously
 
     def _merge(self):
         """Drain any in-flight device work (the superstep merges as it
