@@ -75,20 +75,27 @@ class ShardedCounterConfig:
         return codec.words_per_kmer(self.k)
 
 
-def _routed_insert(tiles, tkeys, counts, *, k: int, cap_log2: int,
+def _route_records(keys, valid, amount, tkeys, counts, *, cap_log2: int,
                    shard_log2: int, max_probes: int):
-    """Per-device body (runs under shard_map).
+    """Per-device routing + insert core (runs under shard_map).
 
-    tiles:  (B/ndev, T+k-1) local input rows
+    keys:   tuple of W uint32 [N] local packed canonical words
+    valid:  [N] bool
+    amount: [N] int32 contribution per record
     tkeys:  (C/ndev, W) local table shard
     counts: (C/ndev,)   local counts shard
+
+    Returns (tkeys, counts, overflow, pend_records) where pend_records
+    is the (ndev*N, W+1) receive buffer with non-pending rows zeroed —
+    the exact records that did not land, so a grow-and-retry re-inserts
+    only those (reference contrast: table full is exit(1),
+    source/kmer_hash_table.cpp:2553-2556).
     """
     ndev = jax.lax.axis_size("d")
-    keys, valid, h = windows_with_hash(tiles, k)
     n = valid.shape[0]
     w = len(keys)
 
-    slot_global = h & jnp.uint32((1 << cap_log2) - 1)
+    slot_global = hash_words(keys) & jnp.uint32((1 << cap_log2) - 1)
     owner = (slot_global >> jnp.uint32(shard_log2)).astype(jnp.int32)
 
     # position of each record within its owner's bucket
@@ -99,7 +106,7 @@ def _routed_insert(tiles, tkeys, counts, *, k: int, cap_log2: int,
     cap = n  # full capacity: routing can never drop (skew-proof)
     send = jnp.zeros((ndev * cap, w + 1), jnp.uint32)
     idx = jnp.where(valid, owner * cap + pos, ndev * cap)
-    record = jnp.stack(list(keys) + [jnp.ones((n,), jnp.uint32)], axis=1)
+    record = jnp.stack(list(keys) + [amount.astype(jnp.uint32)], axis=1)
     send = send.at[idx].set(record, mode="drop")
     send = send.reshape(ndev, cap, w + 1)
 
@@ -107,15 +114,38 @@ def _routed_insert(tiles, tkeys, counts, *, k: int, cap_log2: int,
     recv = recv.reshape(ndev * cap, w + 1)
 
     rkeys = tuple(recv[:, j] for j in range(w))
-    amount = recv[:, w].astype(jnp.int32)
-    rvalid = amount > 0
+    ramount = recv[:, w].astype(jnp.int32)
+    rvalid = ramount > 0
     rh = hash_words(rkeys)
 
     tkeys, counts, pending = table_ops.insert(
-        tkeys, counts, rkeys, rvalid, rh, amount=amount, max_probes=max_probes
+        tkeys, counts, rkeys, rvalid, rh, amount=ramount, max_probes=max_probes
     )
     overflow = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), "d")
-    return tkeys, counts, overflow
+    pend_records = recv * pending[:, None].astype(jnp.uint32)
+    return tkeys, counts, overflow, pend_records
+
+
+def _routed_insert(tiles, tkeys, counts, *, k: int, cap_log2: int,
+                   shard_log2: int, max_probes: int):
+    """Window-extraction front end over :func:`_route_records`."""
+    keys, valid, _h = windows_with_hash(tiles, k)
+    amount = jnp.ones((valid.shape[0],), jnp.int32)
+    return _route_records(keys, valid, amount, tkeys, counts,
+                          cap_log2=cap_log2, shard_log2=shard_log2,
+                          max_probes=max_probes)
+
+
+def _routed_insert_records(records, tkeys, counts, *, words: int,
+                           cap_log2: int, shard_log2: int, max_probes: int):
+    """Record front end: ``records`` is (N/ndev, W+1) local rows of
+    (key words..., amount) — used by grow-and-retry and checkpoint
+    restore."""
+    keys = tuple(records[:, j] for j in range(words))
+    amount = records[:, words].astype(jnp.int32)
+    return _route_records(keys, amount > 0, amount, tkeys, counts,
+                          cap_log2=cap_log2, shard_log2=shard_log2,
+                          max_probes=max_probes)
 
 
 class ShardedKmerCounter:
@@ -129,15 +159,24 @@ class ShardedKmerCounter:
             raise ValueError("batch_tiles must be a multiple of the device count")
         self.cap_log2 = max(capacity_log2(config.min_slots),
                             (self.ndev - 1).bit_length() + 1)
+        self._alloc_table()
+        self._batcher = TileBatcher(config.k, config.tile, config.batch_tiles)
+        self.stats = {"windows_processed": 0, "batches": 0, "grow_events": 0}
+        self._build_steps()
+
+    def _alloc_table(self):
+        """Fresh zeroed table shards at the current capacity."""
         self.shard_log2 = self.cap_log2 - (self.ndev - 1).bit_length()
         c = 1 << self.cap_log2
         kspec = NamedSharding(self.mesh, P("d", None))
         cspec = NamedSharding(self.mesh, P("d"))
-        self.tkeys = jax.device_put(jnp.zeros((c, config.words), jnp.uint32), kspec)
+        self.tkeys = jax.device_put(
+            jnp.zeros((c, self.cfg.words), jnp.uint32), kspec)
         self.counts = jax.device_put(jnp.zeros((c,), jnp.int32), cspec)
-        self._batcher = TileBatcher(config.k, config.tile, config.batch_tiles)
-        self.stats = {"windows_processed": 0, "batches": 0}
 
+    def _build_steps(self):
+        """(Re)jit the shard_map steps for the current capacity."""
+        config = self.cfg
         body = partial(
             _routed_insert,
             k=config.k,
@@ -145,13 +184,24 @@ class ShardedKmerCounter:
             shard_log2=self.shard_log2,
             max_probes=config.max_probes,
         )
-        mapped = jax.shard_map(
-            body,
-            mesh=self.mesh,
+        out = (P("d", None), P("d"), P(), P("d", None))
+        self._step = jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
             in_specs=(P("d", None), P("d", None), P("d")),
-            out_specs=(P("d", None), P("d"), P()),
+            out_specs=out,
+        ), donate_argnums=(1, 2))
+        rbody = partial(
+            _routed_insert_records,
+            words=config.words,
+            cap_log2=self.cap_log2,
+            shard_log2=self.shard_log2,
+            max_probes=config.max_probes,
         )
-        self._step = jax.jit(mapped, donate_argnums=(1, 2))
+        self._records_step = jax.jit(jax.shard_map(
+            rbody, mesh=self.mesh,
+            in_specs=(P("d", None), P("d", None), P("d")),
+            out_specs=out,
+        ), donate_argnums=(1, 2))
 
     # -- streaming (same surface as KmerCounter) ---------------------------
 
@@ -180,14 +230,54 @@ class ShardedKmerCounter:
         tiles = jax.device_put(
             jnp.asarray(tiles_np), NamedSharding(self.mesh, P("d", None))
         )
-        self.tkeys, self.counts, overflow = self._step(tiles, self.tkeys, self.counts)
+        self.tkeys, self.counts, overflow, pend = self._step(
+            tiles, self.tkeys, self.counts)
         if int(overflow):
-            raise RuntimeError(
-                "sharded table overflow: raise min_slots (sharded growth is "
-                "not implemented yet)"
-            )
+            self._grow_and_retry(pend)
         self.stats["batches"] += 1
         self.stats["windows_processed"] += tiles_np.shape[0] * self.cfg.tile
+
+    def _grow_and_retry(self, pend):
+        """Double the global capacity, rebuild the table from its own
+        live records, and re-insert the pending (unplaced) records —
+        the sharded analogue of the single-device grow-and-retry
+        (reference contrast: exit(1) on full,
+        source/kmer_hash_table.cpp:2553-2556)."""
+        w = self.cfg.words
+        pend_np = np.asarray(jax.device_get(pend)).reshape(-1, w + 1)
+        pend_np = pend_np[pend_np[:, w] > 0]
+        live_tk, live_cn = self.dump()
+        while True:
+            self.cap_log2 += 1
+            self.stats["grow_events"] += 1
+            self._alloc_table()
+            self._build_steps()
+            recs = np.concatenate(
+                [np.concatenate(
+                    [live_tk, live_cn.astype(np.uint32)[:, None]], axis=1),
+                 pend_np], axis=0)
+            overflow, pend = self._insert_records(recs)
+            if not overflow:
+                return
+            pend_np = np.asarray(jax.device_get(pend)).reshape(-1, w + 1)
+            pend_np = pend_np[pend_np[:, w] > 0]
+            live_tk, live_cn = self.dump()
+
+    def _insert_records(self, recs: np.ndarray):
+        """Insert host-side (key words..., amount) uint32 rows through
+        the routed device path (pads to a device multiple)."""
+        w = self.cfg.words
+        n = recs.shape[0]
+        padded = -(-max(n, 1) // self.ndev) * self.ndev
+        if padded != n:
+            recs = np.concatenate(
+                [recs, np.zeros((padded - n, w + 1), np.uint32)], axis=0)
+        recs_d = jax.device_put(
+            jnp.asarray(recs.astype(np.uint32)),
+            NamedSharding(self.mesh, P("d", None)))
+        self.tkeys, self.counts, overflow, pend = self._records_step(
+            recs_d, self.tkeys, self.counts)
+        return int(overflow), pend
 
     # -- output --------------------------------------------------------------
 
@@ -211,6 +301,49 @@ class ShardedKmerCounter:
     def occupancy(self):
         cn = np.asarray(self.counts)
         return int((cn > 0).sum()), int(cn.shape[0])
+
+    # -- checkpoint / resume -------------------------------------------------
+    # (the reference is single-shot with no persistence — SURVEY.md
+    # section 5; snapshots let long sharded jobs survive preemption)
+
+    def save(self, path: str):
+        """Snapshot live (key, count) records + the not-yet-processed
+        tail bytes, so windows spanning the checkpoint boundary are
+        neither lost nor double-counted on resume.  The live counter is
+        left untouched."""
+        tk, cn = self.dump()
+        np.savez_compressed(
+            path, kind="sharded_table", k=self.cfg.k, mode=self.cfg.mode,
+            min_abundance=self.cfg.min_abundance, keys=tk,
+            counts=cn.astype(np.int64), tail=self._batcher._buf,
+            windows_processed=self.stats["windows_processed"],
+        )
+
+    @classmethod
+    def load(cls, path: str, config: "ShardedCounterConfig | None" = None,
+             mesh: Mesh | None = None):
+        """Restore from ``save`` output onto a (possibly different-size)
+        mesh; counting can resume."""
+        z = np.load(path)
+        k = int(z["k"])
+        if config is None:
+            config = ShardedCounterConfig(
+                k=k, mode=int(z["mode"]),
+                min_abundance=int(z["min_abundance"]))
+        elif config.k != k:
+            raise ValueError(f"checkpoint is for k={k}, config has k={config.k}")
+        self = cls(config, mesh)
+        keys = z["keys"].astype(np.uint32)
+        cnt = z["counts"].astype(np.uint32)
+        if keys.shape[0]:
+            recs = np.concatenate([keys, cnt[:, None]], axis=1)
+            overflow, pend = self._insert_records(recs)
+            if overflow:
+                self._grow_and_retry(pend)
+        if "tail" in z and z["tail"].shape[0]:
+            self._batcher._buf = z["tail"].astype(np.uint8)
+        self.stats["windows_processed"] = int(z["windows_processed"])
+        return self
 
     # -- queries ---------------------------------------------------------------
 

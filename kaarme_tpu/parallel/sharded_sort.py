@@ -370,3 +370,74 @@ class ShardedSortCounter:
         self._merge()
         cnt = np.asarray(jax.device_get(self.prefix[-1]))
         return int((cnt > 0).sum()), int(cnt.size)
+
+    # -- checkpoint / resume -------------------------------------------------
+    # (the reference is single-shot with no persistence — SURVEY.md
+    # section 5; snapshots let long sharded jobs survive preemption)
+
+    def save(self, path: str):
+        """Snapshot the per-shard distinct records WITHOUT the finalize
+        exchange, plus the not-yet-processed tail bytes (carry +
+        pending), so windows spanning the checkpoint boundary are
+        neither lost nor double-counted on resume.  The same key may
+        appear on several shards with partial counts — they are summed
+        by the first compaction after restore, so counting can resume
+        on any mesh size.  The live counter is left untouched."""
+        if self._exchanged:
+            raise RuntimeError("cannot checkpoint after finalize")
+        self._merge()
+        w = self.cfg.words
+        cols = [np.asarray(jax.device_get(c)).reshape(-1) for c in self.prefix]
+        cnt = cols[-1]
+        alive = cnt > 0
+        keys = np.stack([c[alive] for c in cols[:w]], axis=1)
+        tail = np.concatenate([self._carry] + self._pending) if self._pending \
+            else self._carry
+        np.savez_compressed(
+            path, kind="sharded_sort", k=self.cfg.k, mode=self.cfg.mode,
+            min_abundance=self.cfg.min_abundance, keys=keys,
+            counts=cnt[alive].astype(np.int64), tail=tail,
+            windows_processed=self.stats["windows_processed"],
+        )
+
+    @classmethod
+    def load(cls, path: str, config: "ShardedSortConfig | None" = None,
+             mesh: Mesh | None = None):
+        """Restore from ``save`` output onto a (possibly different-size)
+        mesh; counting can resume."""
+        z = np.load(path)
+        k = int(z["k"])
+        if config is None:
+            config = ShardedSortConfig(
+                k=k, mode=int(z["mode"]),
+                min_abundance=int(z["min_abundance"]))
+        elif config.k != k:
+            raise ValueError(f"checkpoint is for k={k}, config has k={config.k}")
+        self = cls(config, mesh)
+        keys = z["keys"].astype(np.uint32)
+        cnt = z["counts"]
+        n = keys.shape[0]
+        per = -(-max(n, 1) // self.ndev)
+        while per > self.cfg.prefix_cap:
+            self.cfg.prefix_cap *= 2
+        cap = self.cfg.prefix_cap
+        w = config.words
+        cols = []
+        for j in range(w):
+            col = np.full((self.ndev, cap), 0xFFFFFFFF, np.uint32)
+            for d in range(self.ndev):
+                part = keys[d * per: (d + 1) * per, j]
+                col[d, : part.shape[0]] = part
+            cols.append(self._put_rows(col))
+        ccol = np.zeros((self.ndev, cap), np.int32)
+        big = 1 << 20
+        cc = np.where(cnt > big, big + (cnt & (big - 1)), cnt).astype(np.int32)
+        for d in range(self.ndev):
+            part = cc[d * per: (d + 1) * per]
+            ccol[d, : part.shape[0]] = part
+        cols.append(self._put_rows(ccol))
+        self.prefix = tuple(cols)
+        if "tail" in z and z["tail"].shape[0]:
+            self._carry = z["tail"].astype(np.uint8)
+        self.stats["windows_processed"] = int(z["windows_processed"])
+        return self

@@ -73,3 +73,42 @@ def test_sharded_skewed_input_no_drops(mesh8):
                                 min_abundance=1)
     sc = ShardedKmerCounter(scfg, mesh8).count_codes(codes)
     assert sc.as_dict() == {"A" * k: 2000 - k + 1}
+
+
+def test_sharded_table_growth(mesh8):
+    """Overflow grows the sharded table and retries instead of raising
+    (the reference exits; source/kmer_hash_table.cpp:2553-2556)."""
+    k = 9
+    codes = _codes(60000, seed=7)
+    scfg = ShardedCounterConfig(k=k, min_slots=1 << 9, tile=128, batch_tiles=8,
+                                min_abundance=1, max_probes=8)
+    sc = ShardedKmerCounter(scfg, mesh8).count_codes(codes)
+    assert sc.stats["grow_events"] >= 1
+    assert sc.as_dict() == codec.golden_count(codes, k)
+
+
+def test_sharded_table_checkpoint_roundtrip(mesh8, tmp_path):
+    k = 13
+    codes = _codes(30000, seed=8)
+    half = codes.shape[0] // 2
+    path = str(tmp_path / "ck.npz")
+    scfg = ShardedCounterConfig(k=k, min_slots=1 << 13, tile=128, batch_tiles=8,
+                                min_abundance=1)
+    sc = ShardedKmerCounter(scfg, mesh8)
+    sc.add_codes(codes[:half])
+    sc.save(path)
+    sc2 = ShardedKmerCounter.load(
+        path,
+        ShardedCounterConfig(k=k, min_slots=1 << 13, tile=128, batch_tiles=8,
+                             min_abundance=1),
+        make_mesh(4))
+    sc2.add_codes(codes[half:])
+    sc2.finish()
+    # the checkpoint carries the unprocessed tail bytes, so the restored
+    # counter continues the stream exactly (boundary windows included)
+    assert sc2.as_dict() == codec.golden_count(codes, k)
+
+    # the live counter is untouched by save and continues exactly too
+    sc.add_codes(codes[half:])
+    sc.finish()
+    assert sc.as_dict() == codec.golden_count(codes, k)

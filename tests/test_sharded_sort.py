@@ -89,3 +89,36 @@ def test_sharded_add_after_finalize_raises():
     c.dump()  # triggers finalize_exchange
     with _pytest.raises(RuntimeError):
         c.add_codes(np.zeros(9000, np.uint8))
+
+
+def test_sharded_sort_checkpoint_roundtrip(tmp_path):
+    k = 13
+    rng = np.random.default_rng(5)
+    codes = _stream(rng, 50000)
+    half = codes.shape[0] // 2
+    path = str(tmp_path / "ck.npz")
+
+    c = _counter(k)
+    c.add_codes(codes[:half])
+    c.save(path)                     # flushes buffered input, no exchange
+    # resume on the SAME counter: save must not forbid further input
+    c.add_codes(codes[half:])
+    c.finish()
+    assert c.as_dict() == codec.golden_count(codes, k)
+
+    # resume from disk on a fresh counter (different mesh size)
+    c2 = ShardedSortCounter.load(
+        path, ShardedSortConfig(k=k, batch_windows=1 << 10, rows=1 << 5,
+                                prefix_cap=1 << 12, min_abundance=1),
+        make_mesh(4))
+    c2.add_codes(codes[half:])
+    c2.finish()
+    assert c2.as_dict() == codec.golden_count(codes, k)
+
+
+def test_sharded_sort_checkpoint_after_finalize_raises(tmp_path):
+    c = _counter(9)
+    c.count_codes(np.zeros(2000, np.uint8))
+    c.dump()
+    with pytest.raises(RuntimeError):
+        c.save(str(tmp_path / "x.npz"))
