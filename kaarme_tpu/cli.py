@@ -152,26 +152,27 @@ def main(argv=None) -> int:
         )
         counter = bloom_count_file(cfg, args.INPUT, prefetch=max(1, args.threads - 2))
     elif args.use_bfilter:
-        # sort backend: -b's output contract (singletons never reported;
-        # reference main.cpp:395-510 + the -a >= 2 default) is met by the
-        # ordinary pipeline with -u-driven sizing; the two-pass filter
-        # exists for table-memory reduction, which the sorted store
-        # does not need.  Use --backend table for the literal mechanism.
-        from .models.sort_counter import SortCounterConfig, SortKmerCounter
+        # sort backend: literal two-pass Bloom mechanism (pass 1 fills
+        # BF1/BF2, store sized from new_in_second, squeeze, pass 2
+        # counts only BF2 hits — reference main.cpp:395-510) riding the
+        # flagship streaming pipeline; filtered windows never enter the
+        # merge, cutting merge mass on high-duplication inputs.
+        from .models.bloom_counter import bloom_sort_count_file
+        from .models.sort_counter import SortCounterConfig
 
         est = max(os.path.getsize(args.INPUT), 1)
         blog2 = max(12, min(24, (est - 1).bit_length()))
         cfg = SortCounterConfig(
             k=args.KLEN,
-            min_slots=2 * args.unq_kmers,
             mode=args.hash_table_type,
-            min_abundance=max(2, args.min_k_abu),
+            min_abundance=args.min_k_abu,
             batch_windows=1 << blog2,
             rows=1 << (blog2 // 2),
             prefix_cap=1 << max(12, min(22, blog2)),
         )
-        counter = SortKmerCounter(cfg)
-        counter.count_file(args.INPUT, prefetch=max(1, args.threads - 2))
+        counter = bloom_sort_count_file(
+            cfg, args.unq_kmers, args.bfilter_fpr, args.INPUT,
+            prefetch=max(1, args.threads - 2))
     elif args.devices > 1:
         from .parallel.sharded import make_mesh
         from .parallel.sharded_sort import ShardedSortConfig, ShardedSortCounter

@@ -157,3 +157,106 @@ def bloom_count_codes(cfg: BloomCounterConfig, codes: np.ndarray) -> BloomFilter
     counter.stats.update(stats)
     counter.count_codes(codes)
     return counter
+
+
+# ---------------------------------------------------------------------------
+# Two-pass Bloom prefilter on the SORT backend (the flagship path)
+# ---------------------------------------------------------------------------
+# Same two-pass mechanism as above (reference: main.cpp:395-510) riding
+# the sort backend's streaming machinery: pass 1 reuses the host
+# pack/transfer pipeline with a BF-insertion superstep; pass 2 is the
+# ordinary counting pipeline with failing windows turned into sentinel
+# rows BEFORE the sort (ops/sortcount.py), so singletons never enter
+# the merge — the sorted-store analogue of the reference's table-size
+# reduction, and a merge-mass cut on high-duplication inputs.
+
+from ..ops import sortcount as _sortcount
+from .sort_counter import SortCounterConfig, SortKmerCounter
+
+
+class BloomSortCounter(SortKmerCounter):
+    """Sort-backend counter with the two-stage Bloom prefilter.
+
+    Drive with :func:`bloom_sort_count_file` / ``_codes`` (two passes
+    over the input), or manually: stream pass-1 input via
+    add_codes/finish, call ``start_pass2()``, then stream again.
+    """
+
+    def __init__(self, config: SortCounterConfig, expected_unique: int,
+                 fpr: float = 0.01):
+        super().__init__(config)
+        bits, hfn = bloom_sizing(expected_unique, fpr)
+        bits = max(bits, 1 << 10)
+        self.hfn = hfn
+        self.bf1 = bloom_ops.make_bloom(bits)
+        self.bf2 = bloom_ops.make_bloom(bits)
+        self._phase = 1
+        self._n12 = []
+        self.stats.update({"bloom_bits": bits, "bloom_hash_functions": hfn,
+                           "new_in_first": 0, "new_in_second": 0})
+
+    def _superstep_kwargs(self) -> dict:
+        return {"bloom": self.bf2, "hfn": self.hfn} if self._phase == 2 else {}
+
+    def _dispatch(self, packed_d, sep_d, n: int, dense: bool,
+                  wstart: int = 0, srow: int = 0):
+        if self._phase != 1:
+            return super()._dispatch(packed_d, sep_d, n, dense, wstart, srow)
+        cfg = self.cfg
+        self.bf1, self.bf2, n1, n2 = _sortcount.bloom_pass1_superstep(
+            self.bf1, self.bf2, packed_d, sep_d, wstart, srow,
+            k=cfg.k, n=n, rows=min(cfg.rows, n), dense=dense,
+            hfn=self.hfn, pallas=self._pallas_mode())
+        self._n12.append((n1, n2))
+
+    def start_pass2(self):
+        """Finish pass 1: size the distinct store from the BF2
+        cardinality counter (reference: main.cpp:454) and squeeze
+        (drop BF1 — reference: include/mybitarray.hpp:127-162)."""
+        if self._phase != 1:
+            raise RuntimeError("start_pass2 called twice")
+        self.finish()
+        new1 = sum(int(a) for a, _ in self._n12)
+        new2 = sum(int(b) for _, b in self._n12)
+        self._n12 = []
+        self.stats["new_in_first"] = new1
+        self.stats["new_in_second"] = new2
+        pass1_batches = self.stats["batches"]
+        self.stats["batches"] = 0
+        self.stats["pass1_batches"] = pass1_batches
+        self.stats["windows_processed"] = 0
+        min_slots = max(1 << 10, 2 * new2)
+        need = 1 << (min_slots - 1).bit_length()
+        if need > self.cfg.prefix_cap:
+            self.cfg.prefix_cap = need
+            self.prefix = _sortcount.make_store(need, self.cfg.words)
+        self.bf1 = None  # squeeze
+        self._phase = 2
+
+
+def bloom_sort_count_file(cfg: SortCounterConfig, expected_unique: int,
+                          fpr: float, path: str,
+                          chunk_bytes: int = io_reader.DEFAULT_CHUNK_BYTES,
+                          prefetch: int = 4) -> BloomSortCounter:
+    counter = BloomSortCounter(cfg, expected_unique, fpr)
+    for pass_no in (1, 2):
+        chunks = io_reader.CodeChunkReader(path, chunk_bytes=chunk_bytes)
+        if prefetch:
+            chunks = io_reader.PrefetchingReader(chunks, depth=prefetch)
+        for codes in chunks:
+            counter.add_codes(codes)
+        if pass_no == 1:
+            counter.start_pass2()
+        else:
+            counter.finish()
+    return counter
+
+
+def bloom_sort_count_codes(cfg: SortCounterConfig, expected_unique: int,
+                           fpr: float, codes: np.ndarray) -> BloomSortCounter:
+    """In-memory two-pass variant (tests, library use)."""
+    counter = BloomSortCounter(cfg, expected_unique, fpr)
+    counter.add_codes(np.asarray(codes, np.uint8))
+    counter.start_pass2()
+    counter.count_codes(codes)
+    return counter

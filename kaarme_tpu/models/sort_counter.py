@@ -46,6 +46,9 @@ class SortCounterConfig:
                                    # rows, so this also caps peak HBM (~32M
                                    # windows + prefix x ~10 generations)
     prefix_cap: int = 1 << 22      # distinct-record prefix capacity; grows on demand
+    transfer_group: int = 4        # superbatches shipped per host->device copy
+                                   # (copies never overlap compute on this
+                                   # backend; fewer, larger copies win)
     min_slots: int = 0             # reference -s compat: initial prefix sizing
     compactor: str = "auto"        # post-sort compaction: "auto" (Pallas kernel
                                    # on TPU, XLA elsewhere), "pallas", "xla",
@@ -90,6 +93,17 @@ class SortCounterConfig:
         if 0 <= n_seps <= small:
             return small
         return big
+
+
+class _Done:
+    """Future-alike wrapping an already-resolved prep (re-queued when a
+    shape boundary splits a transfer group)."""
+
+    def __init__(self, value):
+        self._v = value
+
+    def result(self):
+        return self._v
 
 
 class SortKmerCounter:
@@ -218,30 +232,67 @@ class SortKmerCounter:
             sep, dense = _maskw, True
         return packed, sep, n, dense, n_windows
 
-    def _put(self, prep):
-        packed, sep, n, dense, n_windows = prep
-        return (jax.device_put(jnp.asarray(packed)),
-                jax.device_put(jnp.asarray(sep)), n, dense, n_windows)
+    def _take_group(self, final: bool):
+        """Pop a group of packed superbatches for ONE transfer.
+        Transfers never overlap compute on this backend and cost ~26 ms
+        fixed + ~50 MB/s, so several superbatches ride per copy.  Only
+        same-shape superbatches group together (full-size, same
+        separator representation); the group is padded to the full
+        group width so every chunk compiles to one program."""
+        g = self.cfg.transfer_group
+        avail = len(self._prepped)
+        if avail == 0 or (avail < g and not final):
+            return None
+        preps = [self._prepped.pop(0).result()]
+        n0, dense0 = preps[0][2], preps[0][3]
+        while (len(preps) < g and self._prepped):
+            nxt = self._prepped.pop(0).result()
+            if nxt[2] != n0 or nxt[3] != dense0:
+                self._prepped.insert(0, _Done(nxt))  # re-queue, next group
+                break
+            preps.append(nxt)
+        k = self.cfg.k
+        need = n0 + k - 1
+        nwords, mwords = (need + 15) // 16, (need + 31) // 32
+        G = g if n0 == self.cfg.superstep_windows else len(preps)
+        if dense0:
+            chunk = np.full(G * mwords, 0xFFFFFFFF, np.uint32)
+            for i, p in enumerate(preps):
+                chunk[i * mwords: i * mwords + p[1].shape[0]] = p[1]
+            sep_h = chunk
+        else:
+            budget = max(p[1].shape[0] for p in preps)
+            sep_h = np.full((G, budget), need, np.uint32)
+            for i, p in enumerate(preps):
+                sep_h[i, : p[1].shape[0]] = p[1]
+        packed_h = np.zeros(G * nwords, np.uint32)
+        for i, p in enumerate(preps):
+            packed_h[i * nwords: i * nwords + p[0].shape[0]] = p[0]
+        packed_d = jax.device_put(jnp.asarray(packed_h))
+        sep_d = jax.device_put(jnp.asarray(sep_h))
+        metas = [(i * nwords, i, p[2], p[3], p[4])
+                 for i, p in enumerate(preps)]
+        return packed_d, sep_d, metas
 
     def _launch(self, final: bool):
-        """Main-thread half: dispatch the transferred superbatch (if
-        any), then issue the next packed superbatch's transfer so it
-        overlaps the compute just dispatched."""
+        """Main-thread half: dispatch the transferred group (if any),
+        then issue the next group's transfer so the copy rides while
+        the dispatched supersteps compute."""
         t0 = time.perf_counter()
-        if self._ready is None and self._prepped:
+        if self._ready is None:
             # pipeline warm-up: first transfer has nothing to overlap
-            self._ready = self._put(self._prepped.pop(0).result())
-        if self._ready is not None:
-            packed_d, sep_d, n, dense, n_windows = self._ready
+            self._ready = self._take_group(final)
+        while self._ready is not None:
+            packed_d, sep_d, metas = self._ready
             self._ready = None
-            self._drain(keep=self._max_inflight)
-            self._dispatch(packed_d, sep_d, n, dense)
-            self.stats["batches"] += 1
-            self.stats["windows_processed"] += n_windows
-        if self._prepped:
-            self._ready = self._put(self._prepped.pop(0).result())
-            if final:
-                self._launch(final=True)
+            for wstart, srow, n, dense, n_windows in metas:
+                self._drain(keep=self._max_inflight)
+                self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
+                self.stats["batches"] += 1
+                self.stats["windows_processed"] += n_windows
+            self._ready = self._take_group(final)
+            if not final:
+                break
         self.stats["build_seconds"] += time.perf_counter() - t0
 
     def _pallas_mode(self) -> str:
@@ -256,23 +307,33 @@ class SortKmerCounter:
             return "on" if platform != "cpu" else "off"
         return {"pallas": "on", "xla": "off", "interpret": "interpret"}[c]
 
-    def _dispatch(self, packed_d, sep_d, n: int, dense: bool):
+    def _superstep_kwargs(self) -> dict:
+        """Extra keyword args threaded into the counting supersteps
+        (the Bloom-prefiltered subclass passes its BF2 here)."""
+        return {}
+
+    def _dispatch(self, packed_d, sep_d, n: int, dense: bool,
+                  wstart: int = 0, srow: int = 0):
         cfg = self.cfg
         rows = min(cfg.rows, n)
         eb = sortcount.embed_bits(cfg.k)
+        extra = self._superstep_kwargs()
         # count embedding: stored counts are always < 2^21 (post-sum
         # modular clamp in ops/sortcount.py), so 21 free trailing-word
         # bits suffice, independent of merge size
         if eb >= 21:
             new_prefix, nd = sortcount.superstep_embedded(
-                packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
-                ebits=eb, dense=dense, pallas=self._pallas_mode())
+                packed_d, sep_d, self.prefix, wstart, srow,
+                k=cfg.k, n=n, rows=rows,
+                ebits=eb, dense=dense, pallas=self._pallas_mode(), **extra)
         else:
             new_prefix, nd = sortcount.superstep_plain(
-                packed_d, sep_d, self.prefix, k=cfg.k, n=n, rows=rows,
-                dense=dense, pallas=self._pallas_mode())
+                packed_d, sep_d, self.prefix, wstart, srow,
+                k=cfg.k, n=n, rows=rows,
+                dense=dense, pallas=self._pallas_mode(), **extra)
         self._inflight.append(
-            (new_prefix, nd, (packed_d, sep_d, n, dense, self.prefix)))
+            (new_prefix, nd,
+             (packed_d, sep_d, n, dense, wstart, srow, self.prefix)))
         # optimistic: later supersteps chain on this (unverified) output
         self.prefix = new_prefix
 
@@ -303,8 +364,8 @@ class SortKmerCounter:
                 jnp.concatenate([col, sortcount.dead_fill((pad,), col.dtype)])
                 for col in old_prefix
             )
-            for packed_d, sep_d, n, dense, _old in replays:
-                self._dispatch(packed_d, sep_d, n, dense)
+            for packed_d, sep_d, n, dense, wstart, srow, _old in replays:
+                self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
                 self._drain(keep=0)  # verify each replay synchronously
 
     def _merge(self):

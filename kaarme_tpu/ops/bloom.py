@@ -55,8 +55,19 @@ def contains(bf, r1, r2, hfn: int):
     return ok
 
 
-def set_bits(bf, r1, r2, hfn: int, active, max_rounds: int = 16):
-    """Set all hfn bits for the active elements (converging OR loop)."""
+def set_bits(bf, r1, r2, hfn: int, active, max_rounds: int | None = None):
+    """Set all hfn bits for the active elements (converging OR loop).
+
+    Runs to CONVERGENCE by default: every round at least one pending
+    entry per contested word durably lands (scatter duplicate-index
+    resolution is deterministic last-writer-wins, and that writer's
+    ``cur | mask`` includes its own bits), so the loop terminates in at
+    most max-distinct-keys-per-word rounds (~word occupancy, ≈20-60 at
+    standard Bloom sizing).  A fixed small cap silently DROPS bits under
+    contention — a Bloom false negative, i.e. a lost k-mer (regression
+    test: tests/test_bloom.py::test_set_bits_converges_under_contention).
+    """
+    bound = (1 << 30) if max_rounds is None else max_rounds
     nbits = bf.shape[0] * 32
     nwords = bf.shape[0]
     widx_l, mask_l = [], []
@@ -70,7 +81,7 @@ def set_bits(bf, r1, r2, hfn: int, active, max_rounds: int = 16):
 
     def cond(state):
         r, pending, _ = state
-        return jnp.logical_and(r < max_rounds, jnp.any(pending))
+        return jnp.logical_and(r < bound, jnp.any(pending))
 
     def body(state):
         r, pending, b = state

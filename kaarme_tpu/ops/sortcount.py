@@ -400,11 +400,36 @@ def embed_bits(k: int) -> int:
 # compiled call.  Transfers (~45 MB/s, fully overlappable with compute)
 # are issued by the model layer while the previous superstep runs.
 
+def _chunk_views(packed, sep, wstart, srow, k: int, n: int, dense: bool):
+    """Slice one superstep's inputs out of a device-resident transfer
+    chunk.  Transfers on this backend never overlap compute and carry a
+    large fixed cost, so the model layer ships SEVERAL superbatches per
+    copy: ``packed`` may hold G superbatches of ``nwords`` words each
+    (wstart = g*nwords, traced so one program serves every g), and
+    ``sep`` is either a (G, budget) row matrix of per-superstep sparse
+    separator indices (relative to the superstep's span) or the
+    concatenated dense bitmaps.  Exact single-superbatch arrays with
+    wstart = srow = 0 pass through unchanged (static no-op slice)."""
+    need = n + k - 1
+    nwords = (need + 15) // 16
+    mwords = (need + 31) // 32
+    if packed.shape[0] != nwords:
+        packed = jax.lax.dynamic_slice(packed, (wstart,), (nwords,))
+    if dense:
+        if sep.shape[0] != mwords:
+            sep = jax.lax.dynamic_slice(
+                sep, (srow * jnp.int32(mwords),), (mwords,))
+    elif sep.ndim == 2:
+        sep = jax.lax.dynamic_slice(sep, (srow, 0), (1, sep.shape[1]))[0]
+    return packed, sep
+
+
 @partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense",
-                                   "pallas"))
-def superstep_embedded(packed, sep, prefix, *, k: int, n: int, rows: int,
+                                   "pallas", "hfn"))
+def superstep_embedded(packed, sep, prefix, wstart=0, srow=0, *,
+                       k: int, n: int, rows: int,
                        ebits: int, dense: bool = False,
-                       pallas: str = "off"):
+                       pallas: str = "off", bloom=None, hfn: int = 0):
     """packed stream (+ separator info) + distinct prefix ->
     (new prefix columns sliced to the prefix capacity, nd) where nd is
     a (2,) int32 array [nd_exact, nd_used]: exact distinct count, and
@@ -429,9 +454,13 @@ def superstep_embedded(packed, sep, prefix, *, k: int, n: int, rows: int,
     """
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
+    packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
     codes = unpack_codes(packed, sep, n + k - 1) if dense \
         else unpack_codes_sparse(packed, sep, n + k - 1)
     keys = _window_keys_any(codes, k, n, rows, pallas)
+    if bloom is not None:
+        miss = _bloom_miss_mask(bloom, keys, hfn)
+        keys = tuple(x | miss for x in keys)
 
     cols = [jnp.concatenate([prefix[i], keys[i]]) for i in range(w - 1)]
     last = jnp.concatenate(
@@ -457,17 +486,76 @@ def _window_keys_any(codes, k: int, n: int, rows: int, pallas: str):
     return window_keys_from_codes(codes, k, n, rows)
 
 
-@partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "pallas"))
-def superstep_plain(packed, sep, prefix, *, k: int, n: int, rows: int,
-                    dense: bool = False, pallas: str = "off"):
+# ---------------------------------------------------------------------------
+# Two-stage Bloom prefilter on the sort backend
+# ---------------------------------------------------------------------------
+# The reference's -b mode is a two-pass pipeline: pass 1 streams the
+# input through BF1/BF2, pass 2 counts only k-mers present in BF2
+# (reference: main.cpp:395-510).  On the sort backend the filter ORs an
+# all-ones miss mask into failing windows' key words, turning them into
+# the established sentinel rows BEFORE the sort — singletons never enter
+# the merge, cutting merge mass exactly like the reference's table-size
+# reduction.
+
+def _bloom_miss_mask(bf2, keys, hfn: int):
+    """uint32 all-ones where the key's hfn Bloom bits are NOT all set
+    (arithmetic formulation — no boolean tensors on the hot path)."""
+    from .bloom import _positions
+    from .hashing import hash_words64
+
+    r1, r2 = hash_words64(keys)
+    nbits = bf2.shape[0] * 32
+    hits = jnp.zeros(r1.shape, jnp.int32)
+    for j in range(hfn):
+        widx, mask = _positions(r1, r2, j, nbits)
+        hits = hits + _nz(bf2[widx] & mask)
+    return jax.lax.bitcast_convert_type((hits - hfn) >> 31, jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "hfn",
+                                   "pallas"), donate_argnums=(0, 1))
+def bloom_pass1_superstep(bf1, bf2, packed, sep, wstart=0, srow=0, *,
+                          k: int, n: int, rows: int, dense: bool = False,
+                          hfn: int = 4, pallas: str = "off"):
+    """Pass-1 superstep: unpack -> window keys -> BF1/BF2 insertion.
+    Same (packed, sep, wstart, srow) transfer contract as the counting
+    supersteps so the model layer's prep/transfer machinery is reused.
+    Returns (bf1, bf2, new_in_first, new_in_second)."""
+    from .bloom import insert_batch
+    from .hashing import hash_words64
+
+    packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
+    codes = unpack_codes(packed, sep, n + k - 1) if dense \
+        else unpack_codes_sparse(packed, sep, n + k - 1)
+    keys = _window_keys_any(codes, k, n, rows, pallas)
+    # invalid windows are all-ones on EVERY word (a real canonical key
+    # can have all-ones words, but never all of them — module docstring)
+    andw = keys[0]
+    for x in keys[1:]:
+        andw = andw & x
+    valid = andw != SENTINEL
+    r1, r2 = hash_words64(keys)
+    return insert_batch(bf1, bf2, r1, r2, valid, hfn)
+
+
+@partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "pallas",
+                                   "hfn"))
+def superstep_plain(packed, sep, prefix, wstart=0, srow=0, *,
+                    k: int, n: int, rows: int,
+                    dense: bool = False, pallas: str = "off",
+                    bloom=None, hfn: int = 0):
     """superstep for k values without >= 21 free trailing-word bits:
     counts ride a separate int32 column through the merge.  Same
     (prefix, [nd_exact, nd_used]) contract as superstep_embedded."""
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
+    packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
     codes = unpack_codes(packed, sep, n + k - 1) if dense \
         else unpack_codes_sparse(packed, sep, n + k - 1)
     keys = _window_keys_any(codes, k, n, rows, pallas)
+    if bloom is not None:
+        miss = _bloom_miss_mask(bloom, keys, hfn)
+        keys = tuple(x | miss for x in keys)
 
     cols = [jnp.concatenate([prefix[i], keys[i]]) for i in range(w)]
     cnt = jnp.concatenate([prefix[-1], jnp.ones((n,), jnp.int32)])
