@@ -48,8 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard the table over this many devices (0 = single device)")
     p.add_argument("--backend", choices=("sort", "table"), default="sort",
                    help="Counting backend: 'sort' (flagship sort/segment-reduce "
-                        "pipeline, fastest on TPU) or 'table' (batched "
-                        "open-addressing probe table) (def. sort)")
+                        "pipeline, fastest on TPU; -b runs the two-pass Bloom "
+                        "prefilter on it) or 'table' (EXPERIMENTAL batched "
+                        "open-addressing probe table — a correctness oracle, "
+                        "orders of magnitude slower than 'sort') (def. sort)")
     p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
     p.add_argument("--query", action="store_true",
                    help="After counting, read k-mers from stdin and print their "
@@ -94,6 +96,17 @@ def main(argv=None) -> int:
 
     # imports deferred so `--help` stays fast
     import jax
+
+    # honor an explicit JAX_PLATFORMS env pin: the axon plugin's
+    # sitecustomize force-sets jax_platforms="axon,cpu" in every
+    # process, which would make a CPU-pinned run initialize (and, when
+    # the TPU tunnel is down, hang on) the TPU backend
+    env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
 
     # persistent compile cache: the fused superstep is one large XLA
     # program per (k, shape); caching it across runs turns a minutes-long

@@ -428,6 +428,16 @@ def main(argv=None) -> int:
                          "(requires a shared filesystem)")
     args = ap.parse_args(argv)
 
+    if args.platform == "cpu":
+        # pin BEFORE backend init: the axon plugin's sitecustomize
+        # force-sets jax_platforms="axon,cpu", and initializing the
+        # axon backend hangs whenever the TPU tunnel is unreachable
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     from .sharded_sort import ShardedSortConfig

@@ -13,10 +13,17 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The axon TPU plugin registers itself even under JAX_PLATFORMS=cpu; pin
-# the default device to CPU so unit tests are fast and deterministic.
+# The axon TPU plugin registers itself even under JAX_PLATFORMS=cpu and
+# its register() force-sets jax_platforms="axon,cpu" from sitecustomize —
+# so the first jax.devices() call would initialize (and, when the TPU
+# tunnel is down, hang on) the axon backend.  Force the platform list
+# back to cpu BEFORE any backend initialization.
 import jax  # noqa: E402
 
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
