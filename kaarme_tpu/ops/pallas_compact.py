@@ -143,14 +143,55 @@ def _clamp_u32(c):
     return jnp.where(c > big, big + (c & (big - 1)), c)
 
 
-def _compact_kernel(W: int, S: int, embedded: bool, ebits: int):
+def _shift_fwd_dyn(v, r, S, fill, residual):
+    """Dense-mode staging shift: (S, 128) -> (S+1, 128) where
+    out.flat[i] = residual.flat[i] for i < r, v.flat[i - r] for
+    r <= i < r + S*128, ``fill`` beyond.  ``r`` is a traced scalar in
+    [0, 128); ``residual`` is a (1, 128) row whose lanes >= r are
+    already ``fill``."""
+    xl = pltpu.roll(v, r, 1)            # lane rotate: xl[s, l] = v[s, (l-r)%128]
+    xp = pltpu.roll(xl, 1, 0)           # previous row's rotated values
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 0)
+    ri = r.astype(jnp.int32)
+    y = jnp.where(lane < ri, xp, xl)    # wrapped low lanes come from row above
+    res_b = jax.lax.broadcast_in_dim(residual, (S, _LANES), (0, 1))
+    y = jnp.where((sub == 0) & (lane < ri), res_b, y)
+    # overflow row: the r elements pushed past row S-1 live in xl[S-1]'s
+    # low lanes
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    ov = jnp.where(lane1 < ri, jax.lax.slice(xl, (S - 1, 0), (S, _LANES)), fill)
+    return jnp.concatenate([y, ov], axis=0)
+
+
+def _row_at_dyn(x, row, S1, fill_dtype):
+    """Extract row ``row`` (traced scalar) of an (S1, 128) value as a
+    (1, 128) row via a masked cross-sublane reduction (no dynamic VMEM
+    indexing)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S1, _LANES), 0)
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    picked = jnp.sum(jnp.where(sub == row.astype(jnp.int32), xi, 0),
+                     axis=0, keepdims=True)
+    return jax.lax.bitcast_convert_type(picked, fill_dtype)
+
+
+def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
+                    dense: bool = False):
     """Build the kernel body.  Refs:
       ins:  s_0..s_{W-1} [, cnt_in]   each (S, 128) blocks
       outs: o_0..o_{W-1}, o_cnt (ANY/HBM, full arrays), nd (SMEM (2,))
-      scratch: carry SMEM (W+4,), vout VMEM (W+1, S, 128), sem DMA
+      scratch: carry SMEM (W+5,), vout VMEM (W+1, S[+1], 128),
+               [residual VMEM (W+1, 1, 128) in dense mode,] sem DMA
     carry layout: [0..W): prev key words (count-stripped);
       [W]: prev cnt; [W+1]: prev sent; [W+2]: prev segstart;
-      [W+3]: row cursor; nd accumulates in the nd output itself.
+      [W+3]: row cursor; [W+4]: residual element count (dense mode);
+      nd accumulates in the nd output itself.
+
+    ``dense=True`` packs the output with NO interspersed pad rows: each
+    block's alive rows are shifted by the carried residual count and
+    the partial last row rides in a VMEM residual buffer to the next
+    block (nd_used == ceil(nd_exact/128)*128, everything in between is
+    sentinel fill).
     """
     n = S * _LANES
     cmask = np.uint32((1 << ebits) - 1) if embedded else np.uint32(0)
@@ -162,7 +203,11 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int):
         nd_ref = refs[nin + W + 1]
         carry = refs[nin + W + 2]
         vout = refs[nin + W + 3]
-        sem = refs[nin + W + 4]
+        if dense:
+            residual = refs[nin + W + 4]
+            sem = refs[nin + W + 5]
+        else:
+            sem = refs[nin + W + 4]
 
         i = pl.program_id(0)
 
@@ -174,8 +219,13 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int):
             carry[W + 1] = jnp.uint32(1)   # prev sent
             carry[W + 2] = jnp.uint32(0)   # prev segstart
             carry[W + 3] = jnp.uint32(0)   # row cursor
+            carry[W + 4] = jnp.uint32(0)   # residual count (dense)
             nd_ref[0] = jnp.int32(0)
             nd_ref[1] = jnp.int32(0)
+            if dense:
+                for w in range(W):
+                    residual[w] = jnp.full((1, _LANES), SENT, jnp.uint32)
+                residual[W] = jnp.zeros((1, _LANES), jnp.uint32)
 
         key = [in_refs[w][...] for w in range(W)]
         if embedded:
@@ -239,17 +289,37 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int):
             av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
             d *= 2
 
-        for w in range(W):
-            vout[w] = jnp.where(av == 1, cur[w], SENT)
-        vout[W] = jnp.where(av == 1, cur[W], jnp.uint32(0))
-
         acount = jnp.sum(alive)
-        arows = (acount + (_LANES - 1)) // _LANES
         cursor = carry[W + 3].astype(jnp.int32)
+
+        if dense:
+            r = carry[W + 4]
+            total = r.astype(jnp.int32) + acount
+            full_rows = total // _LANES
+            new_r = total % _LANES
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+            for w in range(W + 1):
+                fill = jnp.uint32(0) if w == W else SENT
+                clean = jnp.where(av == 1, cur[w], fill)
+                staged = _shift_fwd_dyn(clean, r, S, fill, residual[w])
+                vout[w] = staged
+                # next residual = the partial row at index full_rows,
+                # lanes >= new_r reset to fill
+                picked = _row_at_dyn(staged, full_rows, S + 1, jnp.uint32)
+                residual[w] = jnp.where(lane1 < new_r, picked, fill)
+            arows = full_rows
+            nrows_dma = S + 1
+        else:
+            for w in range(W):
+                vout[w] = jnp.where(av == 1, cur[w], SENT)
+            vout[W] = jnp.where(av == 1, cur[W], jnp.uint32(0))
+            arows = (acount + (_LANES - 1)) // _LANES
+            nrows_dma = S
 
         dmas = [
             pltpu.make_async_copy(
-                vout.at[w], out_refs[w].at[pl.ds(cursor, S), :], sem.at[w])
+                vout.at[w], out_refs[w].at[pl.ds(cursor, nrows_dma), :],
+                sem.at[w])
             for w in range(W + 1)
         ]
         for dma in dmas:
@@ -276,15 +346,21 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int):
         carry[W + 2] = _last_u32(segstart)
         carry[W + 3] = (cursor + arows).astype(jnp.uint32)
         nd_ref[0] = nd_ref[0] + acount
-        nd_ref[1] = (cursor + arows) * _LANES
+        if dense:
+            carry[W + 4] = new_r.astype(jnp.uint32)
+            # +1 row: the partial residual row DMA'd at cursor + arows
+            nd_ref[1] = (cursor + arows + 1) * _LANES
+        else:
+            nd_ref[1] = (cursor + arows) * _LANES
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("embedded", "ebits", "block_rows",
-                                   "interpret"))
+                                   "interpret", "dense"))
 def segsum_compact(cols, *, embedded: bool, ebits: int,
-                   block_rows: int = _BLOCK_ROWS, interpret: bool = False):
+                   block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+                   dense: bool = False):
     """Fused segment-sum + compaction over sorted store columns.
 
     cols: tuple of W uint32 key columns (count embedded in the last
@@ -292,10 +368,14 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
       trailing count column sorted as least-significant key) — all flat
       (N,), N a multiple of 128*block_rows, sorted, with at least one
       trailing sentinel row.
-    Returns (W key cols + 1 count col, each (N + block_rows*128,),
-    nd_exact, nd_used): dense sorted distinct records with interspersed
-    sentinel pad rows in the first ``nd_used`` elements; everything
-    at index >= nd_used is garbage (caller masks).
+    Returns (W key cols + 1 count col, each (N + (block_rows+1)*128,),
+    nd_exact, nd_used): sorted distinct records in the first ``nd_used``
+    elements; everything at index >= nd_used is garbage (caller masks).
+    With ``dense=False`` up to 127 sentinel pad rows are interspersed
+    per block boundary (nd_used >= nd_exact rounded up per block); with
+    ``dense=True`` the records are contiguous and only the final
+    partial 128-lane row is sentinel-padded
+    (nd_used == ceil(nd_exact/128)*128).
     """
     W = len(cols) - (0 if embedded else 1)
     N = cols[0].shape[0]
@@ -303,10 +383,10 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
     if N % (S * _LANES):
         raise ValueError(f"N={N} not a multiple of {S * _LANES}")
     nblocks = N // (S * _LANES)
-    kern = _compact_kernel(W, S, embedded, ebits)
+    kern = _compact_kernel(W, S, embedded, ebits, dense)
 
     nin = len(cols)
-    out_rows = N // _LANES + S
+    out_rows = N // _LANES + S + 1
     out_shapes = (
         [jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
          for _ in range(W + 1)]
@@ -320,17 +400,19 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
         [pl.BlockSpec(memory_space=pl.ANY) for _ in range(W + 1)]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
+    scratch = [pltpu.SMEM((W + 5,), jnp.uint32),
+               pltpu.VMEM((W + 1, S + (1 if dense else 0), _LANES),
+                          jnp.uint32)]
+    if dense:
+        scratch.append(pltpu.VMEM((W + 1, 1, _LANES), jnp.uint32))
+    scratch.append(pltpu.SemaphoreType.DMA((W + 1,)))
     outs = pl.pallas_call(
         kern,
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.SMEM((W + 4,), jnp.uint32),
-            pltpu.VMEM((W + 1, S, _LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((W + 1,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -220,3 +220,57 @@ def test_counter_pallas_embedded_end_to_end(tmp_path):
     p = str(tmp_path / "ckpt.npz")
     c.save(p)
     assert SortKmerCounter.load(p).as_dict() == golden
+
+
+@pytest.mark.parametrize("n_real,blocks", [(500, 1), (6000, 8), (0, 1),
+                                           (pc.block_elems(8) - 1, 1)])
+def test_segsum_compact_dense(n_real, blocks):
+    """dense=True: identical records, but contiguous — no interspersed
+    pad rows; only the final partial 128-lane row is sentinel fill."""
+    W, ebits, S = 3, 26, 8
+    n_total = pc.block_elems(S) * blocks
+    n_real = min(n_real, n_total - 1)   # >= 1 trailing sentinel required
+    cols, exp_rows = _make_sorted_embedded(n_real, n_total, W, ebits)
+    okeys, ocnt, nd, ndu = pc.segsum_compact(
+        tuple(cols), embedded=True, ebits=ebits, block_rows=S,
+        interpret=True, dense=True)
+    nd, ndu = int(nd), int(ndu)
+    assert nd == len(exp_rows)
+    ks = np.stack([np.asarray(c)[:ndu] for c in okeys], 1)
+    cs = np.asarray(ocnt)[:ndu].astype(np.int64)
+    # contiguity: the first nd rows are exactly the distinct records
+    got = [(tuple(int(x) for x in ks[i]), int(cs[i])) for i in range(nd)]
+    assert got == exp_rows
+    # everything in [nd, ndu) is clean sentinel fill
+    assert (ks[nd:ndu] == 0xFFFFFFFF).all()
+    assert (cs[nd:ndu] == 0).all()
+
+
+def test_segsum_compact_dense_separate_count():
+    """dense mode with the separate trailing count column (ebits == 0,
+    any-k layout)."""
+    W, S = 2, 8
+    n_total = pc.block_elems(S) * 3
+    rng = np.random.default_rng(7)
+    n_real = n_total - 300
+    keys = np.sort(rng.integers(0, 900, n_real).astype(np.uint64))
+    cols = [
+        (keys >> np.uint64(16)).astype(np.uint32),
+        (keys & np.uint64(0xFFFF)).astype(np.uint32),
+        np.ones(n_real, np.uint32),
+    ]
+    cols = [np.concatenate([c, np.full(n_total - n_real,
+                                       0xFFFFFFFF if i < W else 0,
+                                       np.uint32)])
+            for i, c in enumerate(cols)]
+    okeys, ocnt, nd, ndu = pc.segsum_compact(
+        tuple(jnp.asarray(c) for c in cols), embedded=False, ebits=0,
+        block_rows=S, interpret=True, dense=True)
+    nd, ndu = int(nd), int(ndu)
+    uk, uc = np.unique(keys, return_counts=True)
+    assert nd == uk.shape[0]
+    got_k = (np.asarray(okeys[0])[:nd].astype(np.uint64) << np.uint64(16)) \
+        | np.asarray(okeys[1])[:nd].astype(np.uint64)
+    assert (got_k == uk).all()
+    assert (np.asarray(ocnt)[:nd] == uc).all()
+    assert (np.asarray(ocnt)[nd:ndu] == 0).all()
