@@ -52,7 +52,11 @@ class SortCounterConfig:
     min_slots: int = 0             # reference -s compat: initial prefix sizing
     compactor: str = "auto"        # post-sort compaction: "auto" (Pallas kernel
                                    # on TPU, XLA elsewhere), "pallas", "xla",
-                                   # "interpret" (Pallas interpreter, CPU tests)
+                                   # "interpret" (Pallas interpreter, CPU tests),
+                                   # "merge" (linear-merge superstep: sort the
+                                   # batch only, stream-merge with the sorted
+                                   # prefix — ops/pallas_merge.py),
+                                   # "merge_interpret" (same, interpreter)
 
     def __post_init__(self):
         if self.k < 2:
@@ -305,7 +309,8 @@ class SortKmerCounter:
             # compiled Mosaic path (unsupported there)
             platform = next(iter(self.prefix[0].devices())).platform
             return "on" if platform != "cpu" else "off"
-        return {"pallas": "on", "xla": "off", "interpret": "interpret"}[c]
+        return {"pallas": "on", "xla": "off", "interpret": "interpret",
+                "merge": "merge", "merge_interpret": "merge_interpret"}[c]
 
     def _superstep_kwargs(self) -> dict:
         """Extra keyword args threaded into the counting supersteps
@@ -318,6 +323,17 @@ class SortKmerCounter:
         rows = min(cfg.rows, n)
         eb = sortcount.embed_bits(cfg.k)
         extra = self._superstep_kwargs()
+        mode = self._pallas_mode()
+        if mode.startswith("merge"):
+            new_prefix, nd = sortcount.superstep_merged(
+                packed_d, sep_d, self.prefix, wstart, srow,
+                k=cfg.k, n=n, rows=rows,
+                ebits=eb, dense=dense, pallas=mode, **extra)
+            self._inflight.append(
+                (new_prefix, nd,
+                 (packed_d, sep_d, n, dense, wstart, srow, self.prefix)))
+            self.prefix = new_prefix
+            return
         # count embedding: stored counts are always < 2^21 (post-sum
         # modular clamp in ops/sortcount.py), so 21 free trailing-word
         # bits suffice, independent of merge size

@@ -478,12 +478,76 @@ def _window_keys_any(codes, k: int, n: int, rows: int, pallas: str):
     """Window extraction on the Pallas kernel when enabled and the shape
     is block-compatible (n a multiple of 1024 -> block_rows >= 8),
     otherwise the XLA formulation (bit-identical either way)."""
-    if pallas != "off" and n % 1024 == 0:
-        from .pallas_winkeys import window_keys_pallas
-        br = min(256, (n // 128) & -(n // 128))
-        return window_keys_pallas(codes, k=k, n=n, block_rows=br,
-                                  interpret=pallas == "interpret")
-    return window_keys_from_codes(codes, k, n, rows)
+    if pallas in ("off", "merge_interpret") or n % 1024:
+        return window_keys_from_codes(codes, k, n, rows)
+    from .pallas_winkeys import window_keys_pallas
+    br = min(256, (n // 128) & -(n // 128))
+    return window_keys_pallas(codes, k=k, n=n, block_rows=br,
+                              interpret=pallas == "interpret")
+
+
+@partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense",
+                                   "pallas", "hfn"))
+def superstep_merged(packed, sep, prefix, wstart=0, srow=0, *,
+                     k: int, n: int, rows: int,
+                     ebits: int = 0, dense: bool = False,
+                     pallas: str = "merge", bloom=None, hfn: int = 0):
+    """Linear-merge superstep (VERDICT item 3): sort ONLY the n new
+    window keys, then merge the sorted batch with the already-sorted
+    distinct prefix in one streaming Pallas pass fused with the
+    segment-sum compaction (ops/pallas_merge.py) — the prefix costs
+    O(P) instead of O(P log P) re-sorting per superstep.
+
+    Same transfer/prefix/nd contract as superstep_embedded.  The batch
+    is sorted DESCENDING for free by sorting bitwise-NOT-ed keys
+    (lexicographic order inverts per word and in aggregate), which is
+    exactly the orientation the merge kernel consumes without any
+    reversal.  Output prefixes are DENSE (nd_used == nd_exact rounded
+    up to one 128-lane row), so the next superstep's merge input is a
+    valid sorted run — the interspersed-pad compact layout would break
+    two-cursor merging.
+
+    ``pallas``: "merge" (compiled kernels) or "merge_interpret"
+    (interpreter, CPU tests; window keys fall back to XLA).
+    """
+    w = len(prefix) - 1
+    cap = prefix[0].shape[0]
+    embedded = ebits >= 21
+    packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
+    codes = unpack_codes(packed, sep, n + k - 1) if dense \
+        else unpack_codes_sparse(packed, sep, n + k - 1)
+    keys = _window_keys_any(codes, k, n, rows, pallas)
+    if bloom is not None:
+        miss = _bloom_miss_mask(bloom, keys, hfn)
+        keys = tuple(x | miss for x in keys)
+
+    npad = (-n) % 128
+    if npad:   # tail supersteps: the merge consumes 128-element rows
+        keys = tuple(
+            jnp.concatenate([x, jnp.full((npad,), SENTINEL, jnp.uint32)])
+            for x in keys)
+    if embedded:
+        keys = tuple(keys[:w - 1]) + (keys[w - 1] | jnp.uint32(1),)
+        a_cols = tuple(prefix[:w - 1]) + (
+            prefix[w - 1] | prefix[-1].astype(jnp.uint32),)
+    else:
+        a_cols = tuple(prefix[:w]) + (prefix[-1],)
+    inv = tuple(~x for x in keys)
+    s = jax.lax.sort(inv, num_keys=w)
+    s = _B(s)
+    b_desc = tuple(~x for x in s)
+
+    from . import pallas_merge as _pm
+
+    okeys, ocnt, nd, ndu = _pm.merge_compact_dense(
+        a_cols, b_desc, embedded=embedded, ebits=ebits,
+        interpret=pallas == "merge_interpret")
+    pos = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    junk = jax.lax.bitcast_convert_type((pos - ndu) >> 31, jnp.uint32) \
+        ^ SENTINEL                                    # all-ones iff pos >= ndu
+    out = tuple(kcol[:cap] | junk for kcol in okeys) \
+        + ((ocnt[:cap] & ~junk).astype(jnp.int32),)
+    return out, jnp.stack([nd, ndu])
 
 
 # ---------------------------------------------------------------------------
