@@ -96,6 +96,19 @@ def run_verify(args):
         results[f"golden_equality_k{k}"] = (
             f"PASS ({len(golden)} distinct)" if ok else
             f"FAIL (got {len(got)} vs {len(golden)} distinct)")
+
+    # 3) the linear-merge superstep compiled on-chip (sort batch only +
+    # streaming merge-compact kernel — ops/pallas_merge.py)
+    codes = make_reads(0.15, 8, 150, seed=5)
+    golden = codec.golden_count(codes, 51)
+    cfg = SortCounterConfig(
+        k=51, batch_windows=1 << 17, rows=1 << 9, superbatch_batches=2,
+        prefix_cap=1 << 18, min_abundance=1, compactor="merge")
+    c = SortKmerCounter(cfg).count_codes(codes)
+    ok = c.as_dict() == golden
+    all_ok = all_ok and ok
+    results["golden_equality_merge_kernel"] = (
+        f"PASS ({len(golden)} distinct)" if ok else "FAIL")
     results["verdict"] = "PASS" if all_ok else "FAIL"
     print(json.dumps(results))
     return 0 if all_ok else 1

@@ -135,6 +135,7 @@ class SortKmerCounter:
 
         self._inflight = collections.deque()
         self._max_inflight = 2
+        self._delta_max = None   # max verified distinct growth per superstep
         # single-worker pool: superbatch s+1's host pack overlaps
         # superstep s's device compute
         self._pool = _cf.ThreadPoolExecutor(max_workers=1)
@@ -299,6 +300,50 @@ class SortKmerCounter:
                 break
         self.stats["build_seconds"] += time.perf_counter() - t0
 
+    # -- live-prefix sizing --------------------------------------------------
+    # The superstep's merge mass is (prefix length + n): passing the full
+    # allocated capacity every superstep wastes sort/merge/stream work
+    # whenever the live distinct set is much smaller (early stream, or a
+    # user-oversized -s).  Each dispatch therefore slices/pads the prefix
+    # to a working size from a small step ladder ({2^m, 3*2^m} — bounded
+    # compile variants) covering the verified fill plus headroom for the
+    # optimistic in-flight window.  Too-small guesses are caught by the
+    # existing overflow verification and replayed at a larger size.
+
+    @staticmethod
+    def _step_up(x: int) -> int:
+        """Smallest ladder value ({2^m, 3*2^m}, m >= 12) >= x."""
+        x = max(int(x), 1 << 12)
+        p = 1 << (x - 1).bit_length()
+        if 3 * p // 4 >= x:
+            return 3 * p // 4
+        return p
+
+    def _eff_for_dispatch(self, n: int) -> int:
+        cap = self.cfg.prefix_cap
+        if cap <= (1 << 12):        # below the ladder floor: no sizing
+            return cap
+        delta = self._delta_max if self._delta_max is not None else n
+        target = self.n_used + (self._max_inflight + 1) * max(delta, n // 16)
+        eff = min(self._step_up(target), cap)
+        if self._inflight:
+            # unverified in-flight outputs may hold up to the current
+            # allocated length of live rows — never slice below it
+            eff = max(eff, self.prefix[0].shape[0])
+        return eff
+
+    def _sized_prefix(self, eff: int):
+        cur = self.prefix[0].shape[0]
+        if cur == eff:
+            return self.prefix
+        if cur > eff:
+            return tuple(c[:eff] for c in self.prefix)
+        pad = eff - cur
+        return tuple(
+            jnp.concatenate([c, sortcount.dead_fill((pad,), c.dtype)])
+            for c in self.prefix
+        )
+
     def _pallas_mode(self) -> str:
         c = self.cfg.compactor
         if c == "auto":
@@ -324,32 +369,28 @@ class SortKmerCounter:
         eb = sortcount.embed_bits(cfg.k)
         extra = self._superstep_kwargs()
         mode = self._pallas_mode()
+        prefix_in = self._sized_prefix(self._eff_for_dispatch(n))
         if mode.startswith("merge"):
             new_prefix, nd = sortcount.superstep_merged(
-                packed_d, sep_d, self.prefix, wstart, srow,
+                packed_d, sep_d, prefix_in, wstart, srow,
                 k=cfg.k, n=n, rows=rows,
                 ebits=eb, dense=dense, pallas=mode, **extra)
-            self._inflight.append(
-                (new_prefix, nd,
-                 (packed_d, sep_d, n, dense, wstart, srow, self.prefix)))
-            self.prefix = new_prefix
-            return
         # count embedding: stored counts are always < 2^21 (post-sum
         # modular clamp in ops/sortcount.py), so 21 free trailing-word
         # bits suffice, independent of merge size
-        if eb >= 21:
+        elif eb >= 21:
             new_prefix, nd = sortcount.superstep_embedded(
-                packed_d, sep_d, self.prefix, wstart, srow,
+                packed_d, sep_d, prefix_in, wstart, srow,
                 k=cfg.k, n=n, rows=rows,
-                ebits=eb, dense=dense, pallas=self._pallas_mode(), **extra)
+                ebits=eb, dense=dense, pallas=mode, **extra)
         else:
             new_prefix, nd = sortcount.superstep_plain(
-                packed_d, sep_d, self.prefix, wstart, srow,
+                packed_d, sep_d, prefix_in, wstart, srow,
                 k=cfg.k, n=n, rows=rows,
-                dense=dense, pallas=self._pallas_mode(), **extra)
+                dense=dense, pallas=mode, **extra)
         self._inflight.append(
             (new_prefix, nd,
-             (packed_d, sep_d, n, dense, wstart, srow, self.prefix)))
+             (packed_d, sep_d, n, dense, wstart, srow, prefix_in)))
         # optimistic: later supersteps chain on this (unverified) output
         self.prefix = new_prefix
 
@@ -361,21 +402,32 @@ class SortKmerCounter:
         while len(self._inflight) > keep:
             new_prefix, nd_h, replay = self._inflight.popleft()
             nd_exact, nd = (int(x) for x in np.asarray(nd_h))
-            if nd <= self.cfg.prefix_cap:
+            cap_used = replay[-1][0].shape[0]   # this dispatch's prefix size
+            if nd <= cap_used:
+                delta = nd_exact - self.n_distinct
+                if delta > 0:
+                    self._delta_max = max(self._delta_max or 0, delta)
                 self.n_distinct = nd_exact
                 self.n_used = nd
                 self.stats["compactions"] += 1
                 continue
-            # grow-and-replay: double the capacity until it fits, re-pad
-            # the still-live pre-overflow prefix, and re-run this
-            # superbatch plus every optimistically-chained one after it
+            # grow-and-replay: pick the next working size that fits (plus
+            # headroom), re-pad the still-live pre-overflow prefix, and
+            # re-run this superbatch plus every optimistically-chained one
+            # after it.  nd counts only records the sliced output KEPT, so
+            # use the superstep input mass as the upper bound for resizing.
             replays = [replay] + [r for (_, _, r) in self._inflight]
             self._inflight.clear()
-            while nd > self.cfg.prefix_cap:
-                self.cfg.prefix_cap *= 2
+            n_over = replay[2]
+            bound = min(cap_used + n_over,
+                        2 * max(nd, cap_used))   # growth ceiling per retry
+            new_eff = self._step_up(bound)
+            self._delta_max = max(self._delta_max or 0, new_eff - self.n_used)
+            if new_eff > self.cfg.prefix_cap:
+                self.cfg.prefix_cap = new_eff
                 self.stats["grow_events"] += 1
             old_prefix = replay[-1]
-            pad = self.cfg.prefix_cap - old_prefix[0].shape[0]
+            pad = new_eff - old_prefix[0].shape[0]
             self.prefix = tuple(
                 jnp.concatenate([col, sortcount.dead_fill((pad,), col.dtype)])
                 for col in old_prefix
