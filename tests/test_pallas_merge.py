@@ -134,7 +134,7 @@ def test_superstep_merged_matches_embedded():
         assert (np.asarray(a[:nd]) == np.asarray(b[:nd])).all()
 
 
-@pytest.mark.parametrize("k", [31, 21])   # embedded (eb=2) / separate path
+@pytest.mark.parametrize("k", [31, 32])   # embedded (eb=2) / separate (eb=0)
 def test_counter_end_to_end_merge_compactor(k):
     """Full streaming counter on the linear-merge superstep == golden
     oracle (multi-superstep chaining, duplication pressure, invalid
@@ -159,3 +159,28 @@ def test_merge_compactor_grow_and_replay():
     c = SortKmerCounter(cfg).count_codes(stream)
     assert c.stats["grow_events"] > 0
     assert c.as_dict() == codec.golden_count(stream, 25)
+
+
+def test_bloom_two_pass_on_merge_compactor():
+    """The two-pass Bloom prefilter composes with the linear-merge
+    superstep (pass-2 miss masking happens before the batch sort)."""
+    from kaarme_tpu.models.bloom_counter import BloomSortCounter
+
+    rng = np.random.default_rng(13)
+    # duplication-heavy stream so BF2 keeps most of the mass
+    base = rng.integers(0, 4, size=3000).astype(np.uint8)
+    stream = np.concatenate([base, base, base[:1500]])
+    k = 19
+    cfg = SortCounterConfig(
+        k=k, batch_windows=1 << 10, rows=1 << 5, superbatch_batches=2,
+        prefix_cap=1 << 12, min_abundance=2, compactor="merge_interpret")
+    c = BloomSortCounter(cfg, expected_unique=4000, fpr=0.01)
+    for _pass in (1, 2):
+        c.add_codes(stream)
+        if _pass == 1:
+            c.start_pass2()
+        else:
+            c.finish()
+    golden = {kk: v for kk, v in codec.golden_count(stream, k).items()
+              if min(v, 16383) >= 2}
+    assert c.as_dict() == golden
