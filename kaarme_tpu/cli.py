@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "prefilter on it) or 'table' (EXPERIMENTAL batched "
                         "open-addressing probe table — a correctness oracle, "
                         "orders of magnitude slower than 'sort') (def. sort)")
+    p.add_argument("--compactor", default="auto",
+                   choices=("auto", "pallas", "xla", "interpret", "merge",
+                            "merge_interpret"),
+                   help="Sort-backend superstep variant: auto (Pallas compact "
+                        "kernel on TPU, XLA elsewhere), merge (linear "
+                        "run-merge kernel — sorts only the batch and streams "
+                        "the prefix), or explicit overrides (def. auto)")
     p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
     p.add_argument("--query", action="store_true",
                    help="After counting, read k-mers from stdin and print their "
@@ -182,6 +189,7 @@ def main(argv=None) -> int:
             batch_windows=1 << blog2,
             rows=1 << (blog2 // 2),
             prefix_cap=1 << max(12, min(22, blog2)),
+            compactor=args.compactor,
         )
         counter = bloom_sort_count_file(
             cfg, args.unq_kmers, args.bfilter_fpr, args.INPUT,
@@ -217,6 +225,7 @@ def main(argv=None) -> int:
             batch_windows=1 << blog2,
             rows=1 << (blog2 // 2),
             prefix_cap=1 << max(12, min(22, blog2)),
+            compactor=args.compactor,
         )
         counter = SortKmerCounter(cfg)
         counter.count_file(args.INPUT, prefetch=max(1, args.threads - 2))
