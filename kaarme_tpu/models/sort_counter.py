@@ -313,11 +313,7 @@ class SortKmerCounter:
     @staticmethod
     def _step_up(x: int) -> int:
         """Smallest ladder value ({2^m, 3*2^m}, m >= 12) >= x."""
-        x = max(int(x), 1 << 12)
-        p = 1 << (x - 1).bit_length()
-        if 3 * p // 4 >= x:
-            return 3 * p // 4
-        return p
+        return sortcount.next_store_size(x)
 
     def _eff_for_dispatch(self, n: int) -> int:
         cap = self.cfg.prefix_cap

@@ -389,6 +389,15 @@ def embed_bits(k: int) -> int:
     return 2 * (16 - r) if r else 0
 
 
+def next_store_size(x: int) -> int:
+    """Smallest {2^m, 3*2^m} (m >= 12) value >= x — the distinct-store
+    size ladder (bounded jit variants; every value is a multiple of
+    128, as the Pallas merge/compact kernels require)."""
+    x = max(int(x), 1 << 12)
+    p = 1 << (x - 1).bit_length()
+    return 3 * p // 4 if 3 * p // 4 >= x else p
+
+
 # ---------------------------------------------------------------------------
 # Fused superstep: one dispatch per superbatch
 # ---------------------------------------------------------------------------

@@ -315,27 +315,18 @@ def _make_multihost_cls():
                                "count_file / count_codes")
 
         def _host_flush(self, stream: np.ndarray, n_real: int):
-            """Local-span _flush: pack rows for this host's devices only."""
+            """Local-span _flush: pack rows for this host's devices only.
+            The separator representation is forced DENSE so every
+            process runs the identical superstep program without
+            communicating the separator census (lockstep SPMD)."""
             if self._exchanged:
                 raise RuntimeError("cannot add input after finalize")
-            cfg = self.cfg
-            k, n = cfg.k, cfg.batch_windows
-            nwords = (n + k - 1 + 15) // 16
-            mwords = (n + k - 1 + 31) // 32
-            packed = np.zeros((self.nloc, nwords), np.uint32)
-            maskw = np.full((self.nloc, mwords), 0xFFFFFFFF, np.uint32)
-            for j in range(self.nloc):
-                span = stream[j * n: (j + 1) * n + k - 1]
-                p, m = fastio.pack_stream(span)
-                maskw[j, :] = 0
-                packed[j, : p.shape[0]] = p
-                maskw[j, : m.shape[0]] = m
-            self.runs.append(self._step(self._put_local(packed),
-                                        self._put_local(maskw)))
+            packed, sep, dense = self._pack_rows(stream, self.nloc,
+                                                 force_dense=True)
+            self._run_superstep(self._put_local(packed),
+                                self._put_local(sep), dense)
             self.stats["batches"] += 1
             self.stats["windows_processed"] += max(n_real, 0)
-            if len(self.runs) >= cfg.merge_every:
-                self._merge()
 
         # -- output -------------------------------------------------------
 

@@ -42,10 +42,13 @@ class ShardedSortConfig:
     k: int
     mode: int = 2
     min_abundance: int = 2
-    batch_windows: int = 1 << 22   # windows per device per step (power of two)
+    batch_windows: int = 1 << 22   # windows per device per round (power of two)
     rows: int = 1 << 11
-    merge_every: int = 4           # per-device batches buffered between merges
+    merge_every: int = 4           # retained for config compat; the fused
+                                   # superstep merges once per round
     prefix_cap: int = 1 << 20      # per-device distinct capacity; grows on demand
+    compactor: str = "auto"        # superstep variant, as in SortCounterConfig:
+                                   # auto/pallas/xla/interpret/merge/merge_interpret
 
     def __post_init__(self):
         if self.k < 2:
@@ -73,41 +76,18 @@ class ShardedSortCounter:
         self.prefix = tuple(
             self._put_const(0xFFFFFFFF, np.uint32, cap) for _ in range(w)
         ) + (self._put_const(0, np.int32, cap),)
-        self.runs = []              # list of key tuples, each (ndev, n) uint32
         self._carry = np.empty(0, np.uint8)
         self._pending = []
         self._pending_n = 0
         self._exchanged = False
         self.stats = {"windows_processed": 0, "batches": 0, "compactions": 0,
                       "grow_events": 0}
-
-        k, n, rows = config.k, config.batch_windows, config.rows
-        nwords = (n + k - 1 + 15) // 16
-        mwords = (n + k - 1 + 31) // 32
-
-        def step_body(packed, maskw):
-            # local block (1, nwords) -> (n,) keys per word
-            keys = sortcount.window_keys(packed[0], maskw[0], k, n, rows)
-            return tuple(x[None, :] for x in keys)
-
-        self._step = jax.jit(jax.shard_map(
-            step_body, mesh=self.mesh,
-            in_specs=(P("d", None), P("d", None)),
-            out_specs=tuple(P("d", None) for _ in range(w)),
-        ))
-
-        def merge_body(prefix, runs):
-            cols = [jnp.concatenate([prefix[i][0]] + [r[i][0] for r in runs])
-                    for i in range(w)]
-            nrun = sum(r[0].shape[1] for r in runs)
-            cnt = jnp.concatenate([prefix[-1][0], jnp.ones((nrun,), jnp.int32)])
-            store, nd = sortcount.compact(tuple(cols) + (cnt,))
-            # replicated global max so every process agrees on growth
-            # decisions without gathering non-addressable shards
-            return tuple(c[None, :] for c in store) + (nd[None],
-                                                       jax.lax.pmax(nd, "d"))
-
-        self._merge_fn = merge_body  # jitted lazily per run-count/shape
+        # fused supersteps (unpack -> windows -> merge-with-prefix in ONE
+        # dispatch per round, exactly like the single-device flagship —
+        # the round-1 design of separate window steps + merge_every
+        # compactions paid one ~26 ms dispatch overhead per stage);
+        # jitted lazily per (cap, dense) shape
+        self._superstep_jits = {}
 
         def exchange_body(prefix):
             # route alive records to owner = top hash bits; sentinel-fill
@@ -212,63 +192,134 @@ class ShardedSortCounter:
         self.finish()
         return self
 
-    def _flush(self, stream: np.ndarray, n_real: int):
-        if self._exchanged:
-            raise RuntimeError("cannot add input after finalize")
+    def _pallas_mode(self) -> str:
+        c = self.cfg.compactor
+        if c == "auto":
+            platform = self.mesh.devices.ravel()[0].platform
+            return "on" if platform != "cpu" else "off"
+        return {"pallas": "on", "xla": "off", "interpret": "interpret",
+                "merge": "merge", "merge_interpret": "merge_interpret"}[c]
+
+    def _pack_rows(self, stream: np.ndarray, nrows: int,
+                   force_dense: bool = False):
+        """Split one round's stream into per-device spans (k-1 halo),
+        2-bit pack each, and build the separator representation: a
+        sparse index matrix (one of two static budgets) or the dense
+        bitmap when separators are dense — or when ``force_dense``
+        (multi-host lockstep needs every process to pick the same
+        program without communicating the separator census)."""
         cfg = self.cfg
         k, n = cfg.k, cfg.batch_windows
-        nwords = (n + k - 1 + 15) // 16
-        mwords = (n + k - 1 + 31) // 32
-        packed = np.zeros((self.ndev, nwords), np.uint32)
-        maskw = np.zeros((self.ndev, mwords), np.uint32)
-        for d in range(self.ndev):
+        need = n + k - 1
+        nwords = (need + 15) // 16
+        mwords = (need + 31) // 32
+        packed = np.zeros((nrows, nwords), np.uint32)
+        masks = np.zeros((nrows, mwords), np.uint32)
+        seps = []
+        for d in range(nrows):
             span = stream[d * n: (d + 1) * n + k - 1]
             p, m = fastio.pack_stream(span)
             packed[d, : p.shape[0]] = p
-            maskw[d, : m.shape[0]] = m
-        packed_d = self._put_rows(packed)
-        maskw_d = self._put_rows(maskw)
-        self.runs.append(self._step(packed_d, maskw_d))
+            masks[d, : m.shape[0]] = m
+            if not force_dense:
+                seps.append(np.flatnonzero(span >= 4).astype(np.uint32))
+        if force_dense:
+            return packed, masks, True
+        small, big = max(need // 128, 32), max(need // 32, 32)
+        worst = max((s.shape[0] for s in seps), default=0)
+        if worst > big:
+            return packed, masks, True
+        budget = small if worst <= small else big
+        sep_h = np.full((nrows, budget), need, np.uint32)
+        for d, s in enumerate(seps):
+            sep_h[d, : s.shape[0]] = s
+        return packed, sep_h, False
+
+    def _build_superstep(self, cap: int, dense: bool):
+        cfg = self.cfg
+        k, n, rows = cfg.k, cfg.batch_windows, min(cfg.rows, cfg.batch_windows)
+        w = cfg.words
+        eb = sortcount.embed_bits(k)
+        mode = self._pallas_mode()
+
+        def body(packed, sep, prefix):
+            pref = tuple(p[0] for p in prefix)
+            if mode.startswith("merge"):
+                new_prefix, nd = sortcount.superstep_merged(
+                    packed[0], sep[0], pref, k=k, n=n, rows=rows,
+                    ebits=eb, dense=dense, pallas=mode)
+            elif eb >= 21:
+                new_prefix, nd = sortcount.superstep_embedded(
+                    packed[0], sep[0], pref, k=k, n=n, rows=rows,
+                    ebits=eb, dense=dense, pallas=mode)
+            else:
+                new_prefix, nd = sortcount.superstep_plain(
+                    packed[0], sep[0], pref, k=k, n=n, rows=rows,
+                    dense=dense, pallas=mode)
+            # replicated global max so every process agrees on growth
+            # decisions without gathering non-addressable shards
+            return tuple(c[None, :] for c in new_prefix) + (
+                nd[None], jax.lax.pmax(nd[1], "d"))
+
+        return jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P("d", None), P("d", None),
+                      tuple(P("d", None) for _ in range(w + 1))),
+            out_specs=tuple(P("d", None) for _ in range(w + 1))
+            + (P("d", None), P()),
+            # pallas_call (the merge/compact kernels) cannot annotate
+            # varying-mesh-axes metadata on its outputs yet
+            check_vma=False,
+        ))
+
+    def _run_superstep(self, packed_d, sep_d, dense: bool):
+        """One fused round; on per-shard overflow, grow every shard's
+        capacity one ladder step past the replicated max and retry with
+        the same device-resident inputs (SPMD-uniform decisions)."""
+        while True:
+            cap = self.prefix[0].shape[1]
+            key = (cap, dense)
+            if key not in self._superstep_jits:
+                self._superstep_jits[key] = self._build_superstep(cap, dense)
+            out = self._superstep_jits[key](packed_d, sep_d, self.prefix)
+            store, nd_max = out[:-2], self._scalar(out[-1])
+            if nd_max <= cap:
+                self.prefix = store
+                self.stats["compactions"] += 1
+                return
+            new_cap = sortcount.next_store_size(
+                min(cap + self.cfg.batch_windows, 2 * max(nd_max, cap)))
+            if new_cap > self.cfg.prefix_cap:
+                self.cfg.prefix_cap = new_cap
+                self.stats["grow_events"] += 1
+            self._retain(self.prefix, new_cap, force_cap=new_cap)
+
+    def _flush(self, stream: np.ndarray, n_real: int):
+        if self._exchanged:
+            raise RuntimeError("cannot add input after finalize")
+        packed, sep, dense = self._pack_rows(stream, self.ndev)
+        self._run_superstep(self._put_rows(packed), self._put_rows(sep), dense)
         self.stats["batches"] += 1
         self.stats["windows_processed"] += max(n_real, 0)
-        if len(self.runs) >= cfg.merge_every:
-            self._merge()
 
     # -- merging -----------------------------------------------------------
 
-    _merge_jits: dict = None
-
     def _merge(self):
-        if not self.runs:
-            return
-        w = self.cfg.words
-        if self._merge_jits is None:
-            self._merge_jits = {}
-        key = (len(self.runs), self.prefix[-1].shape[1])
-        if key not in self._merge_jits:
-            self._merge_jits[key] = jax.jit(jax.shard_map(
-                self._merge_fn, mesh=self.mesh,
-                in_specs=(tuple(P("d", None) for _ in range(w + 1)),
-                          [tuple(P("d", None) for _ in range(w))
-                           for _ in self.runs]),
-                out_specs=tuple(P("d", None) for _ in range(w + 1))
-                + (P("d"), P()),
-            ))
-        merged = self._merge_jits[key](self.prefix, self.runs)
-        store, nd_max = merged[:-2], merged[-1]
-        self.runs = []
-        self._retain(store, self._scalar(nd_max))
-        self.stats["compactions"] += 1
+        """The fused superstep merges every round — nothing buffered."""
+        return
 
-    def _retain(self, store, nd_max: int):
+    def _retain(self, store, nd_max: int, force_cap: "int | None" = None):
         """Keep a prefix_cap-sized slice of the merged store (growing the
         cap first if any shard's distinct count would not fit).  The
         resize is a shard-local jitted program (no collectives) so it is
         multi-process-safe."""
-        while nd_max > self.cfg.prefix_cap:
-            self.cfg.prefix_cap *= 2
-            self.stats["grow_events"] += 1
-        cap = self.cfg.prefix_cap
+        if force_cap is None:
+            while nd_max > self.cfg.prefix_cap:
+                self.cfg.prefix_cap *= 2
+                self.stats["grow_events"] += 1
+            cap = self.cfg.prefix_cap
+        else:
+            cap = force_cap
         total = store[-1].shape[1]
         if cap == total:
             self.prefix = store

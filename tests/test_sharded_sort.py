@@ -122,3 +122,17 @@ def test_sharded_sort_checkpoint_after_finalize_raises(tmp_path):
     c.dump()
     with pytest.raises(RuntimeError):
         c.save(str(tmp_path / "x.npz"))
+
+
+@pytest.mark.parametrize("compactor", ["merge_interpret", "interpret"])
+def test_sharded_pallas_superstep_variants(compactor):
+    """The fused superstep's Pallas paths (merge kernel / compact
+    kernel, interpreter mode) compose with shard_map on the virtual
+    mesh and stay golden."""
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, size=8 * (1 << 10) + 333).astype(np.uint8)
+    cfg = ShardedSortConfig(k=17, batch_windows=1 << 10, rows=1 << 5,
+                            prefix_cap=1 << 12, min_abundance=1,
+                            compactor=compactor)
+    c = ShardedSortCounter(cfg, make_mesh(8)).count_codes(codes)
+    assert c.as_dict() == codec.golden_count(codes, 17)
