@@ -88,6 +88,14 @@ class ShardedSortCounter:
         # compactions paid one ~26 ms dispatch overhead per stage);
         # jitted lazily per (cap, dense) shape
         self._superstep_jits = {}
+        # optimistic chaining: round r+1 dispatches on round r's
+        # unverified output prefix; the growth check (a replicated pmax
+        # scalar read — a full device sync) trails by _max_inflight
+        # rounds, exactly like the single-device pipeline
+        import collections
+
+        self._rounds = collections.deque()
+        self._max_inflight = 2
 
         def exchange_body(prefix):
             # route alive records to owner = top hash bits; sentinel-fill
@@ -273,26 +281,47 @@ class ShardedSortCounter:
         ))
 
     def _run_superstep(self, packed_d, sep_d, dense: bool):
-        """One fused round; on per-shard overflow, grow every shard's
-        capacity one ladder step past the replicated max and retry with
-        the same device-resident inputs (SPMD-uniform decisions)."""
-        while True:
-            cap = self.prefix[0].shape[1]
-            key = (cap, dense)
-            if key not in self._superstep_jits:
-                self._superstep_jits[key] = self._build_superstep(cap, dense)
-            out = self._superstep_jits[key](packed_d, sep_d, self.prefix)
-            store, nd_max = out[:-2], self._scalar(out[-1])
+        """Dispatch one fused round optimistically; verify the round
+        that is now _max_inflight behind (growth decisions read a
+        REPLICATED pmax scalar, so every process takes the same
+        branch)."""
+        self._drain_rounds(keep=self._max_inflight - 1)
+        self._dispatch_round(packed_d, sep_d, dense)
+
+    def _dispatch_round(self, packed_d, sep_d, dense: bool):
+        cap = self.prefix[0].shape[1]
+        key = (cap, dense)
+        if key not in self._superstep_jits:
+            self._superstep_jits[key] = self._build_superstep(cap, dense)
+        out = self._superstep_jits[key](packed_d, sep_d, self.prefix)
+        self._rounds.append(
+            (out[-1], (packed_d, sep_d, dense, self.prefix)))
+        self.prefix = out[:-2]
+
+    def _drain_rounds(self, keep: int = 0):
+        """Verify queued rounds down to ``keep``; on per-shard overflow,
+        grow every shard's capacity one ladder step past the replicated
+        max, re-pad the pre-overflow prefix, and replay this round plus
+        every optimistically-chained one (inputs stay device-resident
+        in the queue until verified)."""
+        while len(self._rounds) > keep:
+            nd_max_h, replay = self._rounds.popleft()
+            nd_max = self._scalar(nd_max_h)
+            cap = replay[-1][0].shape[1]   # input prefix cap = output cap
             if nd_max <= cap:
-                self.prefix = store
                 self.stats["compactions"] += 1
-                return
+                continue
+            replays = [replay] + [r for (_, r) in self._rounds]
+            self._rounds.clear()
             new_cap = sortcount.next_store_size(
                 min(cap + self.cfg.batch_windows, 2 * max(nd_max, cap)))
             if new_cap > self.cfg.prefix_cap:
                 self.cfg.prefix_cap = new_cap
                 self.stats["grow_events"] += 1
-            self._retain(self.prefix, new_cap, force_cap=new_cap)
+            self._retain(replays[0][-1], nd_max, force_cap=new_cap)
+            for packed_d, sep_d, dense, _old in replays:
+                self._dispatch_round(packed_d, sep_d, dense)
+                self._drain_rounds(keep=0)   # verify replays synchronously
 
     def _flush(self, stream: np.ndarray, n_real: int):
         if self._exchanged:
@@ -305,8 +334,9 @@ class ShardedSortCounter:
     # -- merging -----------------------------------------------------------
 
     def _merge(self):
-        """The fused superstep merges every round — nothing buffered."""
-        return
+        """The fused superstep merges every round — this is just the
+        pipeline sync point (verify all in-flight rounds)."""
+        self._drain_rounds(keep=0)
 
     def _retain(self, store, nd_max: int, force_cap: "int | None" = None):
         """Keep a prefix_cap-sized slice of the merged store (growing the
