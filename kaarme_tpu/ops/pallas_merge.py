@@ -370,6 +370,13 @@ def merge_compact_dense(a_cols, b_desc_cols, *, embedded: bool, ebits: int,
         raise ValueError("runs must be padded to 128-element rows")
     ntot = Na + Nb
     npad = (-ntot) % R
+    if npad == 0:
+        # the lagged compact decision needs at least one trailing
+        # sentinel OUTPUT after the last real element: when both runs
+        # are completely full (nd == cap prefix + all-valid batch) and
+        # their total is an exact block multiple, no input sentinel
+        # would ever be consumed — append one all-sentinel block
+        npad = R
     nblocks = (ntot + npad) // R
 
     key_fill, cnt_fill = np.uint32(SENT), np.uint32(0)

@@ -184,3 +184,38 @@ def test_bloom_two_pass_on_merge_compactor():
     golden = {kk: v for kk, v in codec.golden_count(stream, k).items()
               if min(v, 16383) >= 2}
     assert c.as_dict() == golden
+
+
+def test_merge_exact_fit_no_input_sentinels():
+    """Both runs 100% real records and total an exact block multiple:
+    without the forced trailing sentinel block, the lagged compact
+    decision would drop the final record."""
+    rng = np.random.default_rng(2)
+    eb, S = 22, 8
+    R = S * 128
+    Na = Nb = R
+
+    def cols_of(keys, cnts):
+        return [(keys >> np.uint64(10)).astype(np.uint32),
+                (((keys & np.uint64(0x3FF)) << np.uint64(eb))
+                 | cnts).astype(np.uint32)]
+
+    akeys = np.sort(rng.choice(1 << 19, Na, replace=False).astype(np.uint64))
+    acnt = rng.integers(1, 100, Na).astype(np.uint64)
+    a_cols = cols_of(akeys, acnt)
+    bkeys = np.sort(rng.integers(0, 1 << 19, Nb).astype(np.uint64))
+    b_cols = [c[::-1].copy() for c in cols_of(bkeys, np.ones(Nb, np.uint64))]
+    exp = {}
+    for kk, c in zip(akeys.tolist(), acnt.tolist()):
+        exp[kk] = exp.get(kk, 0) + c
+    for kk in bkeys.tolist():
+        exp[kk] = exp.get(kk, 0) + 1
+    ok, oc, nd, ndu = pm.merge_compact_dense(
+        tuple(jnp.asarray(c) for c in a_cols),
+        tuple(jnp.asarray(c) for c in b_cols),
+        embedded=True, ebits=eb, block_rows=S, interpret=True)
+    nd = int(nd)
+    gotk = ((np.asarray(ok[0][:nd]).astype(np.uint64) << np.uint64(10))
+            | (np.asarray(ok[1][:nd]).astype(np.uint64) >> np.uint64(eb)))
+    got = list(zip(gotk.tolist(), np.asarray(oc[:nd]).astype(int).tolist()))
+    assert got == sorted(exp.items())
