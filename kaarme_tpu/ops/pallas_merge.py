@@ -294,13 +294,18 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
         full_rows = total_el // _LANES
         new_r = total_el % _LANES
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        staged_all, res_all = [], []
         for w in range(W + 1):
             fill = jnp.uint32(0) if w == W else SENT
             clean = jnp.where(av == 1, cur[w], fill)
             staged = _shift_fwd_dyn(clean, r, S, fill, residual[w])
-            vout[:, w, :] = staged
+            staged_all.append(staged)
             picked = _row_at_dyn(staged, full_rows, S + 1, jnp.uint32)
-            residual[w] = jnp.where(lane1 < new_r, picked, fill)
+            res_all.append(jnp.where(lane1 < new_r, picked, fill))
+        # single whole-buffer writes (strided per-plane VMEM stores are
+        # the riskier Mosaic lowering)
+        vout[...] = jnp.stack(staged_all, axis=1)
+        residual[...] = jnp.stack(res_all, axis=0)
 
         out_dma = pltpu.make_async_copy(
             vout, out_ref.at[pl.ds(cursor, S + 1)], sem.at[2])
