@@ -143,6 +143,9 @@ def main():
 
     import jax
 
+    from kaarme_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -104,16 +104,11 @@ def main(argv=None) -> int:
     # imports deferred so `--help` stays fast
     import jax
 
-    # honor an explicit JAX_PLATFORMS env pin: the axon plugin's
-    # sitecustomize force-sets jax_platforms="axon,cpu" in every
-    # process, which would make a CPU-pinned run initialize (and, when
-    # the TPU tunnel is down, hang on) the TPU backend
-    env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
-    if env_platforms:
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass
+    from .utils.platform import pin_platform_from_env
+
+    # honor an explicit JAX_PLATFORMS env pin over the axon plugin's
+    # sitecustomize override (see utils/platform.py)
+    pin_platform_from_env()
 
     # persistent compile cache: the fused superstep is one large XLA
     # program per (k, shape); caching it across runs turns a minutes-long
@@ -207,6 +202,7 @@ def main(argv=None) -> int:
             batch_windows=1 << blog2,
             rows=1 << (blog2 // 2),
             prefix_cap=1 << max(10, min(20, blog2)),
+            compactor=args.compactor,
         )
         counter = ShardedSortCounter(cfg, make_mesh(args.devices))
         counter.count_file(args.INPUT)

@@ -175,6 +175,108 @@ def _row_at_dyn(x, row, S1, fill_dtype):
     return jax.lax.bitcast_convert_type(picked, fill_dtype)
 
 
+def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask):
+    """Shared fused segment-sum + alive compaction over one (S, 128)
+    block of SORTED rows — the core both the compact kernel and the
+    merge kernel (ops/pallas_merge.py) run after producing their sorted
+    block: segment boundaries against the carried previous row, lagged
+    (decided) row quantities, per-segment totals via the cumsum-free
+    ``c_last + (len - 1)`` trick with the modular clamp, and the
+    monotone log-shift packing of alive rows to the block front.
+
+    Reads carries [0..W+2] (prev key words / cnt / sent / segstart);
+    writes nothing.  Returns (cur, av, acount, carry_vals):
+      cur:   W+1 (S, 128) planes (decided keys + segment totals),
+             alive rows packed to the front per ``av``;
+      av:    int32 {0,1} post-shift occupancy mask;
+      acount: scalar int32 alive-row count;
+      carry_vals: uint32 scalars for carries [0..W+2] from this block's
+             final (unlagged) row.
+    """
+    n = S * _LANES
+    fpos, _lane = _flat_pos(S)
+    is0 = fpos == 0
+
+    # sentinel rows: all key words all-ones once count bits are set
+    acc = key[W - 1] | cmask
+    for w in range(W - 1):
+        acc = acc & key[w]
+    sent = jnp.where(acc == SENT, jnp.int32(1), jnp.int32(0))
+
+    # segment-first marks vs previous row (carry for flat 0)
+    neq = jnp.zeros((S, _LANES), jnp.int32)
+    for w in range(W):
+        pk = jnp.where(is0, carry[w], _flat_roll1(key[w], S))
+        neq = jnp.maximum(neq, jnp.where(pk != key[w], 1, 0))
+    first = neq
+
+    gpos = i * n + fpos
+    cand = jnp.where(first == 1, gpos, jnp.int32(-1))
+    segstart = jnp.maximum(_cummax_flat(cand, S, jnp.int32(-1)),
+                           carry[W + 2].astype(jnp.int32))
+
+    # decided (lagged) row quantities: decided j == global row i*n-1+j
+    def lag(v, c0):
+        return jnp.where(is0, c0, _flat_roll1(v, S))
+
+    dk = [lag(key[w], carry[w]) for w in range(W)]
+    dcnt = lag(cnt, carry[W])
+    dsent = lag(sent, carry[W + 1].astype(jnp.int32))
+    dstart = lag(segstart, carry[W + 2].astype(jnp.int32))
+    alive = first * (1 - dsent)
+    total = _clamp_u32(dcnt + (gpos - 1 - dstart).astype(jnp.uint32))
+    ocnt = jnp.where(alive == 1, total, jnp.uint32(0))
+
+    # ---- monotone log-shift compaction of alive rows ----
+    sh = _cumsum_flat_incl(1 - alive, S) - (1 - alive)  # excl. dead count
+    cur = dk + [ocnt]
+    av, sv = alive, sh
+    d = 1
+    while d < n:
+        mv = av * jnp.where((sv & d) != 0, 1, 0)
+        take = _flat_roll_back(mv, d, S, jnp.int32(0))
+        cur = [
+            jnp.where(take == 1, _flat_roll_back(c, d, S, SENT), c)
+            for c in cur
+        ]
+        sv = jnp.where(take == 1, _flat_roll_back(sv, d, S, jnp.int32(0)), sv)
+        av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
+        d *= 2
+
+    # carries from this block's (unlagged) final row — scalar extraction
+    # via masked reductions (Mosaic lowers signed-int reductions only;
+    # single-term i32 sums preserve u32 bit patterns)
+    last1 = jnp.where(fpos == n - 1, jnp.int32(1), jnp.int32(0))
+
+    def _last_u32(x):
+        xi = jax.lax.bitcast_convert_type(x.astype(jnp.uint32), jnp.int32)
+        return jnp.sum(xi * last1).astype(jnp.uint32)
+
+    carry_vals = [_last_u32(key[w]) for w in range(W)] + [
+        _last_u32(cnt), _last_u32(sent), _last_u32(segstart)]
+    return cur, av, jnp.sum(alive), carry_vals
+
+
+def dense_stage(cur, av, acount, r, residual, S: int, W: int):
+    """Shared dense staging: shift the alive-packed block by the carried
+    residual count, splice the residual row in, and compute the next
+    residual.  Returns (staged list of (S+1, 128) planes, new_res list
+    of (1, 128) rows, full_rows, new_r)."""
+    total_el = r.astype(jnp.int32) + acount
+    full_rows = total_el // _LANES
+    new_r = total_el % _LANES
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    staged_all, res_all = [], []
+    for w in range(W + 1):
+        fill = jnp.uint32(0) if w == W else SENT
+        clean = jnp.where(av == 1, cur[w], fill)
+        staged = _shift_fwd_dyn(clean, r, S, fill, residual[w])
+        staged_all.append(staged)
+        picked = _row_at_dyn(staged, full_rows, S + 1, jnp.uint32)
+        res_all.append(jnp.where(lane1 < new_r, picked, fill))
+    return staged_all, res_all, full_rows, new_r
+
+
 def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
                     dense: bool = False):
     """Build the kernel body.  Refs:
@@ -240,73 +342,16 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
         else:
             cnt = in_refs[W][...]
 
-        fpos, _lane = _flat_pos(S)
-        is0 = fpos == 0
-
-        # sentinel rows: all key words all-ones once count bits are set
-        acc = key[W - 1] | cmask
-        for w in range(W - 1):
-            acc = acc & key[w]
-        sent = jnp.where(acc == SENT, jnp.int32(1), jnp.int32(0))
-
-        # segment-first marks vs previous row (carry for flat 0)
-        neq = jnp.zeros((S, _LANES), jnp.int32)
-        for w in range(W):
-            pk = jnp.where(is0, carry[w], _flat_roll1(key[w], S))
-            neq = jnp.maximum(neq, jnp.where(pk != key[w], 1, 0))
-        first = neq
-
-        gpos = i * n + fpos
-        cand = jnp.where(first == 1, gpos, jnp.int32(-1))
-        segstart = jnp.maximum(_cummax_flat(cand, S, jnp.int32(-1)),
-                               carry[W + 2].astype(jnp.int32))
-
-        # decided (lagged) row quantities: decided j == global row i*n-1+j
-        def lag(v, c0):
-            return jnp.where(is0, c0, _flat_roll1(v, S))
-
-        dk = [lag(key[w], carry[w]) for w in range(W)]
-        dcnt = lag(cnt, carry[W])
-        dsent = lag(sent, carry[W + 1].astype(jnp.int32))
-        dstart = lag(segstart, carry[W + 2].astype(jnp.int32))
-        alive = first * (1 - dsent)
-        total = _clamp_u32(dcnt + (gpos - 1 - dstart).astype(jnp.uint32))
-        ocnt = jnp.where(alive == 1, total, jnp.uint32(0))
-
-        # ---- monotone log-shift compaction of alive rows ----
-        sh = _cumsum_flat_incl(1 - alive, S) - (1 - alive)  # exclusive dead count
-        cur = dk + [ocnt]
-        av, sv = alive, sh
-        d = 1
-        while d < n:
-            mv = av * jnp.where((sv & d) != 0, 1, 0)
-            take = _flat_roll_back(mv, d, S, jnp.int32(0))
-            cur = [
-                jnp.where(take == 1, _flat_roll_back(c, d, S, SENT), c)
-                for c in cur
-            ]
-            sv = jnp.where(take == 1, _flat_roll_back(sv, d, S, jnp.int32(0)), sv)
-            av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
-            d *= 2
-
-        acount = jnp.sum(alive)
+        cur, av, acount, carry_vals = segsum_rows(key, cnt, i, S, W,
+                                                  carry, cmask)
         cursor = carry[W + 3].astype(jnp.int32)
 
         if dense:
-            r = carry[W + 4]
-            total = r.astype(jnp.int32) + acount
-            full_rows = total // _LANES
-            new_r = total % _LANES
-            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+            staged_all, res_all, full_rows, new_r = dense_stage(
+                cur, av, acount, carry[W + 4], residual, S, W)
             for w in range(W + 1):
-                fill = jnp.uint32(0) if w == W else SENT
-                clean = jnp.where(av == 1, cur[w], fill)
-                staged = _shift_fwd_dyn(clean, r, S, fill, residual[w])
-                vout[w] = staged
-                # next residual = the partial row at index full_rows,
-                # lanes >= new_r reset to fill
-                picked = _row_at_dyn(staged, full_rows, S + 1, jnp.uint32)
-                residual[w] = jnp.where(lane1 < new_r, picked, fill)
+                vout[w] = staged_all[w]
+            residual[...] = jnp.stack(res_all, axis=0)
             arows = full_rows
             nrows_dma = S + 1
         else:
@@ -327,29 +372,17 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
         for dma in dmas:
             dma.wait()
 
-        # update carries from this block's (unlagged) final row — scalar
-        # extraction via masked reductions (Mosaic lowers signed-int
-        # reductions only; single-term i32 sums preserve u32 bit patterns)
-        last1 = jnp.where(fpos == n - 1, jnp.int32(1), jnp.int32(0))
-
-        def _last_u32(x):
-            xi = jax.lax.bitcast_convert_type(
-                x.astype(jnp.uint32), jnp.int32)
-            s = jnp.sum(xi * last1)
-            # scalar i32 -> u32 conversion is mod 2^32: bit pattern kept
-            return s.astype(jnp.uint32)
-
-        for w in range(W):
-            carry[w] = _last_u32(key[w])
-        carry[W] = _last_u32(cnt)
-        carry[W + 1] = _last_u32(sent)
-        carry[W + 2] = _last_u32(segstart)
+        for w, v in enumerate(carry_vals):
+            carry[w] = v
         carry[W + 3] = (cursor + arows).astype(jnp.uint32)
         nd_ref[0] = nd_ref[0] + acount
         if dense:
             carry[W + 4] = new_r.astype(jnp.uint32)
-            # +1 row: the partial residual row DMA'd at cursor + arows
-            nd_ref[1] = (cursor + arows + 1) * _LANES
+            # + the partial residual row at cursor + arows, counted only
+            # when non-empty (otherwise nd_used == nd_exact exactly at
+            # full-row boundaries — an inflated nd_used would trigger
+            # spurious grow-and-replay when the output exactly fits)
+            nd_ref[1] = (cursor + arows + jnp.minimum(new_r, 1)) * _LANES
         else:
             nd_ref[1] = (cursor + arows) * _LANES
 

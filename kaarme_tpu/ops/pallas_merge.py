@@ -64,14 +64,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_compact import (
     SENT,
     _LANES,
-    _clamp_u32,
-    _cumsum_flat_incl,
-    _cummax_flat,
     _flat_pos,
-    _flat_roll1,
     _flat_roll_back,
-    _row_at_dyn,
-    _shift_fwd_dyn,
+    dense_stage,
+    segsum_rows,
 )
 
 _BLOCK_ROWS = 128
@@ -233,7 +229,8 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
         carry[W + 5] = carry[W + 5] + (jnp.int32(n) - cnt_b).astype(jnp.uint32)
         carry[W + 6] = carry[W + 6] + cnt_b.astype(jnp.uint32)
 
-        # ---- fused segment-sum + dense compaction (see pallas_compact) ----
+        # ---- fused segment-sum + dense compaction (shared core in
+        # ops/pallas_compact.py) ----
         key = out_planes[:W]
         if embedded:
             cnt = key[W - 1] & cmask
@@ -241,67 +238,11 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
         else:
             cnt = out_planes[W]
 
-        fpos, _lane = _flat_pos(S)
-        is0 = fpos == 0
-
-        acc = key[W - 1] | cmask
-        for w in range(W - 1):
-            acc = acc & key[w]
-        sent = jnp.where(acc == SENT, jnp.int32(1), jnp.int32(0))
-
-        neq = jnp.zeros((S, _LANES), jnp.int32)
-        for w in range(W):
-            pk = jnp.where(is0, carry[w], _flat_roll1(key[w], S))
-            neq = jnp.maximum(neq, jnp.where(pk != key[w], 1, 0))
-        first = neq
-
-        gpos = i * n + fpos
-        cand = jnp.where(first == 1, gpos, jnp.int32(-1))
-        segstart = jnp.maximum(_cummax_flat(cand, S, jnp.int32(-1)),
-                               carry[W + 2].astype(jnp.int32))
-
-        def lag(v, c0):
-            return jnp.where(is0, c0, _flat_roll1(v, S))
-
-        dk = [lag(key[w], carry[w]) for w in range(W)]
-        dcnt = lag(cnt, carry[W])
-        dsent = lag(sent, carry[W + 1].astype(jnp.int32))
-        dstart = lag(segstart, carry[W + 2].astype(jnp.int32))
-        alive = first * (1 - dsent)
-        total = _clamp_u32(dcnt + (gpos - 1 - dstart).astype(jnp.uint32))
-        ocnt = jnp.where(alive == 1, total, jnp.uint32(0))
-
-        sh = _cumsum_flat_incl(1 - alive, S) - (1 - alive)
-        cur = dk + [ocnt]
-        av, sv = alive, sh
-        d = 1
-        while d < n:
-            mv = av * jnp.where((sv & d) != 0, 1, 0)
-            take = _flat_roll_back(mv, d, S, jnp.int32(0))
-            cur = [
-                jnp.where(take == 1, _flat_roll_back(c, d, S, SENT), c)
-                for c in cur
-            ]
-            sv = jnp.where(take == 1,
-                           _flat_roll_back(sv, d, S, jnp.int32(0)), sv)
-            av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
-            d *= 2
-
-        acount = jnp.sum(alive)
+        cur, av, acount, carry_vals = segsum_rows(key, cnt, i, S, W,
+                                                  carry, cmask)
         cursor = carry[W + 3].astype(jnp.int32)
-        r = carry[W + 4]
-        total_el = r.astype(jnp.int32) + acount
-        full_rows = total_el // _LANES
-        new_r = total_el % _LANES
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        staged_all, res_all = [], []
-        for w in range(W + 1):
-            fill = jnp.uint32(0) if w == W else SENT
-            clean = jnp.where(av == 1, cur[w], fill)
-            staged = _shift_fwd_dyn(clean, r, S, fill, residual[w])
-            staged_all.append(staged)
-            picked = _row_at_dyn(staged, full_rows, S + 1, jnp.uint32)
-            res_all.append(jnp.where(lane1 < new_r, picked, fill))
+        staged_all, res_all, full_rows, new_r = dense_stage(
+            cur, av, acount, carry[W + 4], residual, S, W)
         # single whole-buffer writes (strided per-plane VMEM stores are
         # the riskier Mosaic lowering)
         vout[...] = jnp.stack(staged_all, axis=1)
@@ -312,21 +253,15 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
         out_dma.start()
         out_dma.wait()
 
-        last1 = jnp.where(fpos == n - 1, jnp.int32(1), jnp.int32(0))
-
-        def _last_u32(x):
-            xi = jax.lax.bitcast_convert_type(x.astype(jnp.uint32), jnp.int32)
-            return jnp.sum(xi * last1).astype(jnp.uint32)
-
-        for w in range(W):
-            carry[w] = _last_u32(key[w])
-        carry[W] = _last_u32(cnt)
-        carry[W + 1] = _last_u32(sent)
-        carry[W + 2] = _last_u32(segstart)
+        for w, v in enumerate(carry_vals):
+            carry[w] = v
         carry[W + 3] = (cursor + full_rows).astype(jnp.uint32)
         carry[W + 4] = new_r.astype(jnp.uint32)
         nd_ref[0] = nd_ref[0] + acount
-        nd_ref[1] = (cursor + full_rows + 1) * _LANES
+        # count the partial residual row only when non-empty (see
+        # pallas_compact: an inflated nd_used at exact-fit capacity
+        # would trigger spurious grow-and-replay)
+        nd_ref[1] = (cursor + full_rows + jnp.minimum(new_r, 1)) * _LANES
 
     return kernel
 

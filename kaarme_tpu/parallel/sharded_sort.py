@@ -496,7 +496,23 @@ class ShardedSortCounter:
             raise ValueError(f"checkpoint is for k={k}, config has k={config.k}")
         self = cls(config, mesh)
         keys = z["keys"].astype(np.uint32)
-        cnt = z["counts"]
+        cnt = z["counts"].astype(np.int64)
+        # The checkpoint concatenates per-shard partitions: the same key
+        # may appear several times with PARTIAL counts, and the rows are
+        # not globally sorted.  The fused supersteps require each
+        # shard's prefix to be a SORTED run with at most one record per
+        # key (the c_last segment trick and the merge-path invariant
+        # both break otherwise), so aggregate + sort host-side before
+        # re-partitioning.
+        if keys.shape[0]:
+            w0 = keys.shape[1]
+            order = np.lexsort(tuple(keys[:, i] for i in range(w0 - 1, -1, -1)))
+            keys, cnt = keys[order], cnt[order]
+            first = np.ones(keys.shape[0], bool)
+            first[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            starts = np.flatnonzero(first)
+            cnt = np.add.reduceat(cnt, starts)
+            keys = keys[starts]
         n = keys.shape[0]
         per = -(-max(n, 1) // self.ndev)
         while per > self.cfg.prefix_cap:

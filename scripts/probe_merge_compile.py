@@ -19,6 +19,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from kaarme_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     from kaarme_tpu.ops import pallas_compact as pc
     from kaarme_tpu.ops import pallas_merge as pm

@@ -30,14 +30,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
-    import os
-
     import jax
     import jax.numpy as jnp
 
-    envp = os.environ.get("JAX_PLATFORMS", "").strip()
-    if envp:   # sitecustomize force-sets jax_platforms="axon,cpu"
-        jax.config.update("jax_platforms", envp)
+    from kaarme_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     from kaarme_tpu.ops import sortcount
 

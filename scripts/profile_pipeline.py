@@ -30,13 +30,11 @@ def main():
     ap.add_argument("--compactor", default="auto")
     args = ap.parse_args()
 
-    import os
-
     import jax
 
-    envp = os.environ.get("JAX_PLATFORMS", "").strip()
-    if envp:   # sitecustomize force-sets jax_platforms="axon,cpu"
-        jax.config.update("jax_platforms", envp)
+    from kaarme_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
     from bench import make_reads

@@ -20,10 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # back to cpu BEFORE any backend initialization.
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+from kaarme_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env(default="cpu")
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:

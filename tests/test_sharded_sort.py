@@ -136,3 +136,32 @@ def test_sharded_pallas_superstep_variants(compactor):
                             compactor=compactor)
     c = ShardedSortCounter(cfg, make_mesh(8)).count_codes(codes)
     assert c.as_dict() == codec.golden_count(codes, 17)
+
+
+@pytest.mark.parametrize("compactor", ["auto", "merge_interpret"])
+def test_sharded_checkpoint_duplication_heavy(tmp_path, compactor):
+    """Regression: checkpoint rows carry PARTIAL counts for the same key
+    on several shards and are not globally sorted; load() must
+    aggregate + sort before re-partitioning or the fused supersteps
+    (c_last trick / merge-path invariant) silently corrupt counts."""
+    k = 17
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 4, size=500).astype(np.uint8)
+    codes = np.tile(np.concatenate([base, [4]]), 60)   # heavy duplication
+    half = (codes.shape[0] // 2) & ~1023
+    path = str(tmp_path / "ckd.npz")
+
+    cfg = ShardedSortConfig(k=k, batch_windows=1 << 10, rows=1 << 5,
+                            prefix_cap=1 << 12, min_abundance=1,
+                            compactor=compactor)
+    c = ShardedSortCounter(cfg, make_mesh(8))
+    c.add_codes(codes[:half])
+    c.save(path)
+    c2 = ShardedSortCounter.load(
+        path, ShardedSortConfig(k=k, batch_windows=1 << 10, rows=1 << 5,
+                                prefix_cap=1 << 12, min_abundance=1,
+                                compactor=compactor),
+        make_mesh(4))
+    c2.add_codes(codes[half:])
+    c2.finish()
+    assert c2.as_dict() == codec.golden_count(codes, k)
