@@ -134,6 +134,8 @@ def main():
                          "the reference README's own -s 8000000 sizing for this "
                          "workload (growth-replay would otherwise double work)")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--compactor", default="auto",
+                    help="superstep variant (auto/pallas/xla/merge/...)")
     ap.add_argument("--verify", action="store_true",
                     help="correctness mode: count a small workload on the "
                          "real device (all Pallas kernels active), diff "
@@ -168,7 +170,7 @@ def main():
             k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
             merge_every=args.merge_every, superbatch_batches=args.superbatch,
             prefix_cap=1 << args.prefix_log2,
-            min_abundance=2,
+            min_abundance=2, compactor=args.compactor,
         )
         c = SortKmerCounter(cfg)
         t0 = time.perf_counter()
