@@ -108,10 +108,11 @@ def test_merge_hot_key_spans_blocks_and_clamps():
     assert int(np.asarray(oc[0])) == exp
 
 
-def test_superstep_merged_matches_embedded():
+@pytest.mark.parametrize("k", [31, 51, 63])
+def test_superstep_merged_matches_embedded(k):
     """One merged superstep == one embedded superstep, bit for bit
     (same prefix in, same distinct records out)."""
-    k, n, rows = 31, 1 << 12, 1 << 5
+    n, rows = 1 << 12, 1 << 5
     eb = sortcount.embed_bits(k)
     rng = np.random.default_rng(11)
     codes = rng.integers(0, 5, size=n + k - 1).astype(np.uint8)
