@@ -301,15 +301,15 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
     def kernel(*refs):
         nin = W + (0 if embedded else 1)
         in_refs = refs[:nin]
-        out_refs = refs[nin:nin + W + 1]
-        nd_ref = refs[nin + W + 1]
-        carry = refs[nin + W + 2]
-        vout = refs[nin + W + 3]
+        out_ref = refs[nin]
+        nd_ref = refs[nin + 1]
+        carry = refs[nin + 2]
+        vout = refs[nin + 3]
         if dense:
-            residual = refs[nin + W + 4]
-            sem = refs[nin + W + 5]
+            residual = refs[nin + 4]
+            sem = refs[nin + 5]
         else:
-            sem = refs[nin + W + 4]
+            sem = refs[nin + 4]
 
         i = pl.program_id(0)
 
@@ -349,28 +349,22 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
         if dense:
             staged_all, res_all, full_rows, new_r = dense_stage(
                 cur, av, acount, carry[W + 4], residual, S, W)
-            for w in range(W + 1):
-                vout[w] = staged_all[w]
             residual[...] = jnp.stack(res_all, axis=0)
             arows = full_rows
             nrows_dma = S + 1
         else:
-            for w in range(W):
-                vout[w] = jnp.where(av == 1, cur[w], SENT)
-            vout[W] = jnp.where(av == 1, cur[W], jnp.uint32(0))
+            staged_all = [jnp.where(av == 1, cur[w], SENT) for w in range(W)]
+            staged_all.append(jnp.where(av == 1, cur[W], jnp.uint32(0)))
             arows = (acount + (_LANES - 1)) // _LANES
             nrows_dma = S
-
-        dmas = [
-            pltpu.make_async_copy(
-                vout.at[w], out_refs[w].at[pl.ds(cursor, nrows_dma), :],
-                sem.at[w])
-            for w in range(W + 1)
-        ]
-        for dma in dmas:
-            dma.start()
-        for dma in dmas:
-            dma.wait()
+        # ONE interleaved output DMA per block (per-plane streams paid
+        # the ~24 us fixed DMA cost W+1 times per block; the caller
+        # de-interleaves in XLA, which is a cheap strided copy)
+        vout[...] = jnp.stack(staged_all, axis=1)
+        out_dma = pltpu.make_async_copy(
+            vout, out_ref.at[pl.ds(cursor, nrows_dma)], sem)
+        out_dma.start()
+        out_dma.wait()
 
         for w, v in enumerate(carry_vals):
             carry[w] = v
@@ -420,26 +414,23 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
 
     nin = len(cols)
     out_rows = N // _LANES + S + 1
-    out_shapes = (
-        [jax.ShapeDtypeStruct((out_rows, _LANES), jnp.uint32)
-         for _ in range(W + 1)]
-        + [jax.ShapeDtypeStruct((2,), jnp.int32)]
-    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((out_rows, W + 1, _LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((2,), jnp.int32),
+    ]
     grid = (nblocks,)
     in_specs = [
         pl.BlockSpec((S, _LANES), lambda i: (i, 0)) for _ in range(nin)
     ]
-    out_specs = (
-        [pl.BlockSpec(memory_space=pl.ANY) for _ in range(W + 1)]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    )
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     scratch = [pltpu.SMEM((W + 5,), jnp.uint32),
-               pltpu.VMEM((W + 1, S + (1 if dense else 0), _LANES),
+               pltpu.VMEM((S + (1 if dense else 0), W + 1, _LANES),
                           jnp.uint32)]
     if dense:
         scratch.append(pltpu.VMEM((W + 1, 1, _LANES), jnp.uint32))
-    scratch.append(pltpu.SemaphoreType.DMA((W + 1,)))
-    outs = pl.pallas_call(
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    out, nd = pl.pallas_call(
         kern,
         out_shape=out_shapes,
         grid=grid,
@@ -452,7 +443,6 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
         ),
     )(*[jax.lax.bitcast_convert_type(c, jnp.uint32).reshape(-1, _LANES)
         for c in cols])
-    okeys = [o.reshape(-1) for o in outs[:W]]
-    ocnt = outs[W].reshape(-1)
-    nd = outs[W + 1]
+    okeys = [out[:, w, :].reshape(-1) for w in range(W)]
+    ocnt = out[:, W, :].reshape(-1)
     return tuple(okeys), ocnt, nd[0], nd[1]

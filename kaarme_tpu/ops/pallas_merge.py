@@ -70,7 +70,12 @@ from .pallas_compact import (
     segsum_rows,
 )
 
-_BLOCK_ROWS = 128
+# 256-row blocks halve the per-block fixed DMA cost vs 128; the VMEM
+# footprint (two (S+1)-row input tiles + the (2S, 128) bitonic working
+# set + the staging buffer, ~9 MB at W=4) matches what the compact
+# kernel already runs compiled on-chip.  Dial down if Mosaic reports
+# scoped-VMEM pressure at large W.
+_BLOCK_ROWS = 256
 
 
 def block_elems(block_rows: int = _BLOCK_ROWS) -> int:
