@@ -206,7 +206,8 @@ class BloomSortCounter(SortKmerCounter):
         self.bf1, self.bf2, n1, n2 = _sortcount.bloom_pass1_superstep(
             self.bf1, self.bf2, packed_d, sep_d, wstart, srow,
             k=cfg.k, n=n, rows=min(cfg.rows, n), dense=dense,
-            hfn=self.hfn, pallas=self._pallas_mode())
+            hfn=self.hfn, pallas=self._pallas_mode(),
+            winkeys=self._winkeys_mode())
         self._n12.append((n1, n2))
 
     def start_pass2(self):

@@ -57,6 +57,12 @@ class SortCounterConfig:
                                    # batch only, stream-merge with the sorted
                                    # prefix — ops/pallas_merge.py),
                                    # "merge_interpret" (same, interpreter)
+    winkeys: str = "auto"          # window-key extraction: "packed" (direct
+                                   # shift-or from the packed words), "codes"
+                                   # (per-character XLA planes), "legacy"
+                                   # (codes on XLA paths, Pallas block kernel
+                                   # on Pallas paths); "auto" = legacy until
+                                   # the packed path is A/B'd on-chip
 
     def __post_init__(self):
         if self.k < 2:
@@ -353,6 +359,10 @@ class SortKmerCounter:
         return {"pallas": "on", "xla": "off", "interpret": "interpret",
                 "merge": "merge", "merge_interpret": "merge_interpret"}[c]
 
+    def _winkeys_mode(self) -> str:
+        w = self.cfg.winkeys
+        return "legacy" if w == "auto" else w
+
     def _superstep_kwargs(self) -> dict:
         """Extra keyword args threaded into the counting supersteps
         (the Bloom-prefiltered subclass passes its BF2 here)."""
@@ -366,11 +376,12 @@ class SortKmerCounter:
         extra = self._superstep_kwargs()
         mode = self._pallas_mode()
         prefix_in = self._sized_prefix(self._eff_for_dispatch(n))
+        wk = self._winkeys_mode()
         if mode.startswith("merge"):
             new_prefix, nd = sortcount.superstep_merged(
                 packed_d, sep_d, prefix_in, wstart, srow,
                 k=cfg.k, n=n, rows=rows,
-                ebits=eb, dense=dense, pallas=mode, **extra)
+                ebits=eb, dense=dense, pallas=mode, winkeys=wk, **extra)
         # count embedding: stored counts are always < 2^21 (post-sum
         # modular clamp in ops/sortcount.py), so 21 free trailing-word
         # bits suffice, independent of merge size
@@ -378,12 +389,12 @@ class SortKmerCounter:
             new_prefix, nd = sortcount.superstep_embedded(
                 packed_d, sep_d, prefix_in, wstart, srow,
                 k=cfg.k, n=n, rows=rows,
-                ebits=eb, dense=dense, pallas=mode, **extra)
+                ebits=eb, dense=dense, pallas=mode, winkeys=wk, **extra)
         else:
             new_prefix, nd = sortcount.superstep_plain(
                 packed_d, sep_d, prefix_in, wstart, srow,
                 k=cfg.k, n=n, rows=rows,
-                dense=dense, pallas=mode, **extra)
+                dense=dense, pallas=mode, winkeys=wk, **extra)
         self._inflight.append(
             (new_prefix, nd,
              (packed_d, sep_d, n, dense, wstart, srow, prefix_in)))

@@ -176,6 +176,132 @@ def unpack_codes_sparse(packed, sep_idx, n: int):
     return x.at[sep_idx].set(jnp.uint32(4), mode="drop", unique_indices=True)
 
 
+def _pairrev32(x):
+    """Reverse the sixteen 2-bit fields of each uint32 (bases stay
+    intact; their order within the word flips), converting between the
+    little-endian transfer packing and big-endian key-word packing."""
+    m2, m4, m8 = jnp.uint32(0x33333333), jnp.uint32(0x0F0F0F0F), jnp.uint32(0x00FF00FF)
+    x = ((x & m2) << jnp.uint32(2)) | ((x >> jnp.uint32(2)) & m2)
+    x = ((x & m4) << jnp.uint32(4)) | ((x >> jnp.uint32(4)) & m4)
+    x = ((x & m8) << jnp.uint32(8)) | ((x >> jnp.uint32(8)) & m8)
+    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+
+
+def invalid_from_sparse(sep_idx, L: int):
+    """int32 {0,1} per-position invalid vector from a sparse separator
+    index list (out-of-range pad entries drop)."""
+    return jnp.zeros((L,), jnp.int32).at[sep_idx].set(
+        1, mode="drop", unique_indices=True)
+
+
+def invalid_from_dense(maskwords, L: int):
+    """int32 {0,1} per-position invalid vector from the dense bitmap."""
+    m = jnp.stack(
+        [(maskwords >> jnp.uint32(j)) & jnp.uint32(1) for j in range(32)], axis=1
+    ).reshape(-1)[:L]
+    return m.astype(jnp.int32)
+
+
+def _sentinel_mask_from_invalid(invalid, k: int, n: int):
+    """uint32 [n] all-ones where window t contains an invalid position
+    (next-invalid-at-or-after t is < t + k), else 0 — the same
+    arithmetic sign-extend formulation as window_keys_from_codes."""
+    L = invalid.shape[0]
+    idx_l = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    nii = jax.lax.cummin(
+        idx_l * invalid + (1 - invalid) * jnp.int32(1 << 30), reverse=True
+    )
+    nii = _B(nii)
+    d = jax.lax.slice(nii, (0,), (n,)) - jax.lax.broadcasted_iota(jnp.int32, (n,), 0) - k
+    return jax.lax.bitcast_convert_type(d >> 31, jnp.uint32)
+
+
+def window_keys_packed(packed, invalid, k: int, n: int):
+    """Canonical window keys straight from the 2-bit PACKED stream —
+    no per-position code array is ever materialized.
+
+    Per key word this is two whole-word shift-ors instead of sixteen
+    per-character shift-or-accumulate steps (the reference's rolling
+    factory counterpart — source/kmer_factory.cpp:104-239 — updates one
+    character at a time; the XLA/Pallas code formulations replicate that
+    per-character structure across planes).  Identities used:
+
+    - forward key word w of window j covers bases j+16w .. j+16w+15 in
+      big-endian order: with ``pbe`` = the packed stream's words with
+      their sixteen 2-bit fields reversed (one cheap O(L/16) pass), it
+      is ``(pbe[q] << 2p) | (pbe[q+1] >> (32-2p))`` at q, p = divmod
+      (j + 16w, 16);
+    - the reverse-complement key word w covers bases j+k-1-16w down to
+      j+k-16(w+1), complemented: reading those 16 bases in DESCENDING
+      order from a little-endian extraction gives big-endian packing
+      for free, so it is ``~((pk[q2] >> 2p2) | (pk[q2+1] << (32-2p2)))``
+      at q2, p2 = divmod(j + k - 16*(w+1), 16) on the UNreversed words
+      (complement 3-c == bitwise NOT per 2-bit field).
+
+    Grouping windows by phase j % 16 makes q/q2 affine in the group
+    index with static offsets, so every word is a shifted slice + two
+    shifts + or over n/16-length arrays.  Trailing-word low bits are
+    masked (left-aligned contract); reads beyond either stream end only
+    ever land in those masked bits.
+
+    Args: packed uint32 [>= ceil((n+k-1)/16)] little-endian 2-bit codes
+    (invalid positions' code bits are DON'T-CARE — the mask is the
+    source of truth, matching pack_stream_np); invalid int32 {0,1}
+    [n + k - 1]; n must be a multiple of 16.  Returns W uint32 [n]
+    columns, bit-identical to window_keys_from_codes.
+    """
+    if n % 16:
+        raise ValueError("window_keys_packed requires n % 16 == 0")
+    W = words_per_kmer(k)
+    r = k % 16
+    topmask = jnp.uint32(0xFFFFFFFF) if r == 0 else \
+        jnp.uint32(((1 << (2 * r)) - 1) << (32 - 2 * r))
+    M = n // 16
+    need = M + W + 1            # highest word index used is M + W
+    pad = max(0, need - packed.shape[0])
+    pk = jnp.concatenate([
+        jnp.zeros((1,), jnp.uint32),          # front pad: rc q2 reaches -1
+        packed,
+        jnp.zeros((pad,), jnp.uint32),
+    ])                                        # pk[i] = packed[i - 1]
+    pk = _B(pk)
+    pbe = _pairrev32(pk)
+
+    def sl(arr, s0: int):
+        return jax.lax.slice(arr, (s0 + 1,), (s0 + 1 + M,))
+
+    # canonical select per phase, all on (M,) arrays
+    sel = [None] * 16  # sel[p][w]
+    for p in range(16):
+        fwd, rcw = [], []
+        for w in range(W):
+            a, b = sl(pbe, w), sl(pbe, w + 1)
+            f = a if p == 0 else \
+                ((a << jnp.uint32(2 * p)) | (b >> jnp.uint32(32 - 2 * p)))
+            e = p + k - 16 * (w + 1)
+            qoff, p2 = e // 16, e % 16
+            c, d = sl(pk, qoff), sl(pk, qoff + 1)
+            z = c if p2 == 0 else \
+                ((c >> jnp.uint32(2 * p2)) | (d << jnp.uint32(32 - 2 * p2)))
+            g = ~z
+            if w == W - 1:
+                f, g = f & topmask, g & topmask
+            fwd.append(f)
+            rcw.append(g)
+        carry = jnp.zeros((M,), jnp.int32)
+        for f, g in zip(reversed(fwd), reversed(rcw)):
+            carry = jnp.where(f < g, jnp.int32(-1),
+                              jnp.where(f > g, jnp.int32(1), carry))
+        sel[p] = [jnp.where(carry <= 0, f, g) for f, g in zip(fwd, rcw)]
+
+    smask = _sentinel_mask_from_invalid(invalid, k, n)
+    out = []
+    for w in range(W):
+        col = jnp.stack([sel[p][w] for p in range(16)], axis=1).reshape(-1)
+        out.append(col | smask)
+    return tuple(out)
+
+
 def window_keys_from_codes(codes, k: int, n: int, rows: int):
     """Canonical window keys from an unpacked code array (length
     n + k - 1, values 0..3 valid / bit 2 set = invalid).  See
@@ -434,11 +560,12 @@ def _chunk_views(packed, sep, wstart, srow, k: int, n: int, dense: bool):
 
 
 @partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense",
-                                   "pallas", "hfn"))
+                                   "pallas", "hfn", "winkeys"))
 def superstep_embedded(packed, sep, prefix, wstart=0, srow=0, *,
                        k: int, n: int, rows: int,
                        ebits: int, dense: bool = False,
-                       pallas: str = "off", bloom=None, hfn: int = 0):
+                       pallas: str = "off", bloom=None, hfn: int = 0,
+                       winkeys: str = "legacy"):
     """packed stream (+ separator info) + distinct prefix ->
     (new prefix columns sliced to the prefix capacity, nd) where nd is
     a (2,) int32 array [nd_exact, nd_used]: exact distinct count, and
@@ -464,9 +591,7 @@ def superstep_embedded(packed, sep, prefix, wstart=0, srow=0, *,
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
     packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
-    codes = unpack_codes(packed, sep, n + k - 1) if dense \
-        else unpack_codes_sparse(packed, sep, n + k - 1)
-    keys = _window_keys_any(codes, k, n, rows, pallas)
+    keys = _keys_from_chunk(packed, sep, dense, k, n, rows, pallas, winkeys)
     if bloom is not None:
         miss = _bloom_miss_mask(bloom, keys, hfn)
         keys = tuple(x | miss for x in keys)
@@ -495,12 +620,37 @@ def _window_keys_any(codes, k: int, n: int, rows: int, pallas: str):
                               interpret=pallas == "interpret")
 
 
+def _keys_from_chunk(packed, sep, dense: bool, k: int, n: int, rows: int,
+                     pallas: str, winkeys: str):
+    """Shared superstep stage: transfer chunk -> canonical window keys.
+
+    winkeys selects the extraction formulation (all bit-identical):
+      "legacy" — unpack a per-position code array, then the rolling-
+                 factory-shaped XLA or Pallas-block kernel (round-1/2
+                 paths, chosen by ``pallas`` as before);
+      "packed" — direct shift-or extraction from the packed words
+                 (window_keys_packed; no code array, ~8x less VPU work);
+      "codes"  — force the XLA code formulation (A/B baseline).
+    """
+    L = n + k - 1
+    if winkeys == "packed" and n % 16 == 0:
+        inv = invalid_from_dense(sep, L) if dense \
+            else invalid_from_sparse(sep, L)
+        return window_keys_packed(packed, inv, k, n)
+    codes = unpack_codes(packed, sep, L) if dense \
+        else unpack_codes_sparse(packed, sep, L)
+    if winkeys == "codes":
+        return window_keys_from_codes(codes, k, n, rows)
+    return _window_keys_any(codes, k, n, rows, pallas)
+
+
 @partial(jax.jit, static_argnames=("k", "n", "rows", "ebits", "dense",
-                                   "pallas", "hfn"))
+                                   "pallas", "hfn", "winkeys"))
 def superstep_merged(packed, sep, prefix, wstart=0, srow=0, *,
                      k: int, n: int, rows: int,
                      ebits: int = 0, dense: bool = False,
-                     pallas: str = "merge", bloom=None, hfn: int = 0):
+                     pallas: str = "merge", bloom=None, hfn: int = 0,
+                     winkeys: str = "legacy"):
     """Linear-merge superstep (VERDICT item 3): sort ONLY the n new
     window keys, then merge the sorted batch with the already-sorted
     distinct prefix in one streaming Pallas pass fused with the
@@ -523,9 +673,7 @@ def superstep_merged(packed, sep, prefix, wstart=0, srow=0, *,
     cap = prefix[0].shape[0]
     embedded = ebits >= 21
     packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
-    codes = unpack_codes(packed, sep, n + k - 1) if dense \
-        else unpack_codes_sparse(packed, sep, n + k - 1)
-    keys = _window_keys_any(codes, k, n, rows, pallas)
+    keys = _keys_from_chunk(packed, sep, dense, k, n, rows, pallas, winkeys)
     if bloom is not None:
         miss = _bloom_miss_mask(bloom, keys, hfn)
         keys = tuple(x | miss for x in keys)
@@ -586,10 +734,11 @@ def _bloom_miss_mask(bf2, keys, hfn: int):
 
 
 @partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "hfn",
-                                   "pallas"), donate_argnums=(0, 1))
+                                   "pallas", "winkeys"), donate_argnums=(0, 1))
 def bloom_pass1_superstep(bf1, bf2, packed, sep, wstart=0, srow=0, *,
                           k: int, n: int, rows: int, dense: bool = False,
-                          hfn: int = 4, pallas: str = "off"):
+                          hfn: int = 4, pallas: str = "off",
+                          winkeys: str = "legacy"):
     """Pass-1 superstep: unpack -> window keys -> BF1/BF2 insertion.
     Same (packed, sep, wstart, srow) transfer contract as the counting
     supersteps so the model layer's prep/transfer machinery is reused.
@@ -598,9 +747,7 @@ def bloom_pass1_superstep(bf1, bf2, packed, sep, wstart=0, srow=0, *,
     from .hashing import hash_words64
 
     packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
-    codes = unpack_codes(packed, sep, n + k - 1) if dense \
-        else unpack_codes_sparse(packed, sep, n + k - 1)
-    keys = _window_keys_any(codes, k, n, rows, pallas)
+    keys = _keys_from_chunk(packed, sep, dense, k, n, rows, pallas, winkeys)
     # invalid windows are all-ones on EVERY word (a real canonical key
     # can have all-ones words, but never all of them — module docstring)
     andw = keys[0]
@@ -612,20 +759,18 @@ def bloom_pass1_superstep(bf1, bf2, packed, sep, wstart=0, srow=0, *,
 
 
 @partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "pallas",
-                                   "hfn"))
+                                   "hfn", "winkeys"))
 def superstep_plain(packed, sep, prefix, wstart=0, srow=0, *,
                     k: int, n: int, rows: int,
                     dense: bool = False, pallas: str = "off",
-                    bloom=None, hfn: int = 0):
+                    bloom=None, hfn: int = 0, winkeys: str = "legacy"):
     """superstep for k values without >= 21 free trailing-word bits:
     counts ride a separate int32 column through the merge.  Same
     (prefix, [nd_exact, nd_used]) contract as superstep_embedded."""
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
     packed, sep = _chunk_views(packed, sep, wstart, srow, k, n, dense)
-    codes = unpack_codes(packed, sep, n + k - 1) if dense \
-        else unpack_codes_sparse(packed, sep, n + k - 1)
-    keys = _window_keys_any(codes, k, n, rows, pallas)
+    keys = _keys_from_chunk(packed, sep, dense, k, n, rows, pallas, winkeys)
     if bloom is not None:
         miss = _bloom_miss_mask(bloom, keys, hfn)
         keys = tuple(x | miss for x in keys)

@@ -49,6 +49,8 @@ class ShardedSortConfig:
     prefix_cap: int = 1 << 20      # per-device distinct capacity; grows on demand
     compactor: str = "auto"        # superstep variant, as in SortCounterConfig:
                                    # auto/pallas/xla/interpret/merge/merge_interpret
+    winkeys: str = "auto"          # window-key extraction, as in
+                                   # SortCounterConfig (auto/packed/codes/legacy)
 
     def __post_init__(self):
         if self.k < 2:
@@ -249,21 +251,22 @@ class ShardedSortCounter:
         w = cfg.words
         eb = sortcount.embed_bits(k)
         mode = self._pallas_mode()
+        wk = "legacy" if cfg.winkeys == "auto" else cfg.winkeys
 
         def body(packed, sep, prefix):
             pref = tuple(p[0] for p in prefix)
             if mode.startswith("merge"):
                 new_prefix, nd = sortcount.superstep_merged(
                     packed[0], sep[0], pref, k=k, n=n, rows=rows,
-                    ebits=eb, dense=dense, pallas=mode)
+                    ebits=eb, dense=dense, pallas=mode, winkeys=wk)
             elif eb >= 21:
                 new_prefix, nd = sortcount.superstep_embedded(
                     packed[0], sep[0], pref, k=k, n=n, rows=rows,
-                    ebits=eb, dense=dense, pallas=mode)
+                    ebits=eb, dense=dense, pallas=mode, winkeys=wk)
             else:
                 new_prefix, nd = sortcount.superstep_plain(
                     packed[0], sep[0], pref, k=k, n=n, rows=rows,
-                    dense=dense, pallas=mode)
+                    dense=dense, pallas=mode, winkeys=wk)
             # replicated global max so every process agrees on growth
             # decisions without gathering non-addressable shards
             return tuple(c[None, :] for c in new_prefix) + (

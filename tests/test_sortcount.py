@@ -57,6 +57,45 @@ def test_golden_equality(k):
     assert c.as_dict() == codec.golden_count(codes, k)
 
 
+@pytest.mark.parametrize("k", [5, 13, 16, 17, 31, 32, 33, 51, 63, 101, 201])
+def test_window_keys_packed_bit_equality(k):
+    """window_keys_packed (direct shift-or extraction from packed words)
+    is bit-identical to the per-character code formulation, including
+    sentinel rows, across word-boundary k values and separator layouts."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(100 + k)
+    n = 1 << 9                       # multiple of 16 (packed-path contract)
+    for p_sep in (0.0, 0.02, 0.3):
+        stream = _random_stream(rng, n + k - 1, p_sep=p_sep)
+        p, m = sortcount.pack_stream_np(stream)
+        codes = sortcount.unpack_codes(jnp.asarray(p), jnp.asarray(m), n + k - 1)
+        ref = sortcount.window_keys_from_codes(codes, k, n, 1 << 5)
+        inv = sortcount.invalid_from_dense(jnp.asarray(m), n + k - 1)
+        got = sortcount.window_keys_packed(jnp.asarray(p), inv, k, n)
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        # sparse separator vector builds the same invalid mask
+        seps = np.flatnonzero(stream >= 4).astype(np.uint32)
+        inv2 = sortcount.invalid_from_sparse(jnp.asarray(seps), n + k - 1)
+        got2 = sortcount.window_keys_packed(jnp.asarray(p), inv2, k, n)
+        for g, r in zip(got2, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+@pytest.mark.parametrize("k", [31, 32, 51])
+def test_golden_equality_packed_winkeys(k):
+    """End-to-end golden equality with the packed window-key extraction
+    on every superstep variant that runs on CPU."""
+    rng = np.random.default_rng(7 * k)
+    codes = _random_stream(rng, 3000)
+    golden = codec.golden_count(codes, k)
+    for compactor in ("xla", "interpret", "merge_interpret"):
+        c = _counter(k, compactor=compactor, winkeys="packed").count_codes(codes)
+        assert c.as_dict() == golden, compactor
+
+
 def test_multi_batch_and_carry():
     """Stream large enough to span several batches; windows crossing batch
     boundaries must be counted exactly once."""
