@@ -136,6 +136,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--compactor", default="auto",
                     help="superstep variant (auto/pallas/xla/merge/...)")
+    ap.add_argument("--winkeys", default="auto",
+                    help="window-key extraction (auto/packed/codes/legacy)")
     ap.add_argument("--verify", action="store_true",
                     help="correctness mode: count a small workload on the "
                          "real device (all Pallas kernels active), diff "
@@ -171,6 +173,7 @@ def main():
             merge_every=args.merge_every, superbatch_batches=args.superbatch,
             prefix_cap=1 << args.prefix_log2,
             min_abundance=2, compactor=args.compactor,
+            winkeys=args.winkeys,
         )
         c = SortKmerCounter(cfg)
         t0 = time.perf_counter()

@@ -109,19 +109,28 @@ def main():
     t, _ = timeit(wkp, codes_d)
     print(f"window_keys pallas: {t*1e3:7.0f}ms -> {n/t/1e6:.0f} M windows/s")
 
+    # phase 2c: packed shift-or extraction (includes its own invalid
+    # unpack — no code array at all, so compare against unpack + 2/2b)
+    wkq = jax.jit(lambda p, s: sortcount.window_keys_packed(
+        p, sortcount.invalid_from_sparse(s, L), k, n))
+    t, _ = timeit(wkq, packed_d, sep_d)
+    print(f"window_keys packed (incl unpack): {t*1e3:7.0f}ms -> "
+          f"{n/t/1e6:.0f} M windows/s")
+
     # phase 4b: Pallas compact kernel (via _pallas_finish)
     pf = jax.jit(lambda s: sortcount._pallas_finish(s, cap, True, eb, False))
     t, _ = timeit(pf, sorted_cols)
     print(f"pallas compact: {t*1e3:7.0f}ms")
 
-    # fused superstep, both compaction paths
+    # fused superstep: compaction x window-extraction matrix
     for pal in ("off", "on"):
-        f = partial(sortcount.superstep_embedded, k=k, n=n, rows=rows,
-                    ebits=eb, pallas=pal)
-        t, (_, nd) = timeit(f, packed_d, sep_d, prefix)
-        nde = int(np.asarray(nd)[0])
-        print(f"fused superstep[{pal:3s}]: {t*1e3:7.0f}ms -> "
-              f"{n/t/1e6:.0f} M windows/s (nd={nde})")
+        for wkmode in ("legacy", "packed"):
+            f = partial(sortcount.superstep_embedded, k=k, n=n, rows=rows,
+                        ebits=eb, pallas=pal, winkeys=wkmode)
+            t, (_, nd) = timeit(f, packed_d, sep_d, prefix)
+            nde = int(np.asarray(nd)[0])
+            print(f"fused superstep[{pal:3s},{wkmode:6s}]: {t*1e3:7.0f}ms -> "
+                  f"{n/t/1e6:.0f} M windows/s (nd={nde})")
 
 
 if __name__ == "__main__":
