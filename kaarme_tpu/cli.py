@@ -195,13 +195,21 @@ def main(argv=None) -> int:
 
         est = max(os.path.getsize(args.INPUT), 1)
         blog2 = max(10, min(22, (est // args.devices - 1).bit_length()))
+        # -s sizes the distinct store like the reference's table size;
+        # prefix_cap is PER-DEVICE, so split it (growth covers the rest)
+        cap = 1 << max(10, min(20, blog2))
+        if args.hash_tab_size:
+            from .ops.sortcount import next_store_size
+
+            cap = max(cap, next_store_size(
+                -(-args.hash_tab_size // args.devices)))
         cfg = ShardedSortConfig(
             k=args.KLEN,
             mode=args.hash_table_type,
             min_abundance=args.min_k_abu,
             batch_windows=1 << blog2,
             rows=1 << (blog2 // 2),
-            prefix_cap=1 << max(10, min(20, blog2)),
+            prefix_cap=cap,
             compactor=args.compactor,
         )
         counter = ShardedSortCounter(cfg, make_mesh(args.devices))
@@ -261,6 +269,7 @@ def main(argv=None) -> int:
         # re-fetch the whole store per query.
         import numpy as np
 
+        from .ops import sortcount as _sc
         from .utils import codec as _codec
 
         tk, cn = counter.dump()
@@ -277,8 +286,6 @@ def main(argv=None) -> int:
             if len(qk) != args.KLEN or any(ch not in "ACGTacgt" for ch in qk):
                 print(-1)
                 continue
-            from .ops import sortcount as _sc
-
             q = _codec.pack_kmer(_codec.canonical(qk.upper()))[None, :]
             c = _sc.lookup_sorted(tk, cn, q.astype(np.uint32))[0]
             print(int(counter._clip(np.asarray([c], np.int64))[0]))

@@ -347,21 +347,16 @@ class SortKmerCounter:
         )
 
     def _pallas_mode(self) -> str:
-        c = self.cfg.compactor
-        if c == "auto":
-            # decide from the device actually holding the store, not
-            # jax.default_backend(): the axon TPU plugin registers the
-            # "tpu" platform even when tests pin jax_default_device to
-            # CPU, so backend name alone would route CPU runs into the
-            # compiled Mosaic path (unsupported there)
-            platform = next(iter(self.prefix[0].devices())).platform
-            return "on" if platform != "cpu" else "off"
-        return {"pallas": "on", "xla": "off", "interpret": "interpret",
-                "merge": "merge", "merge_interpret": "merge_interpret"}[c]
+        # decide from the device actually holding the store, not
+        # jax.default_backend(): the axon TPU plugin registers the
+        # "tpu" platform even when tests pin jax_default_device to
+        # CPU, so backend name alone would route CPU runs into the
+        # compiled Mosaic path (unsupported there)
+        return sortcount.resolve_compactor(
+            self.cfg.compactor, next(iter(self.prefix[0].devices())).platform)
 
     def _winkeys_mode(self) -> str:
-        w = self.cfg.winkeys
-        return "legacy" if w == "auto" else w
+        return sortcount.resolve_winkeys(self.cfg.winkeys)
 
     def _superstep_kwargs(self) -> dict:
         """Extra keyword args threaded into the counting supersteps
@@ -470,6 +465,11 @@ class SortKmerCounter:
         input first."""
         self._flush()
         self._merge()
+        return self._dump_device()
+
+    def _dump_device(self):
+        """Device store -> host (keys, counts), WITHOUT flushing host
+        buffers (callers must have drained in-flight device work)."""
         nd = self.n_used
         if not nd:
             return (np.zeros((0, self.cfg.words), np.uint32),
@@ -540,16 +540,31 @@ class SortKmerCounter:
     # jobs survive preemption)
 
     def save(self, path: str):
-        """Snapshot the merged distinct set + config to an .npz file."""
-        keys, cnt = self.dump()   # flushes + drains + drops pad rows
+        """Snapshot the merged distinct set + config to an .npz file.
+
+        The unprocessed host tail (buffered codes shorter than a
+        superbatch) is saved VERBATIM and restored by ``load`` — NOT
+        flushed as if the stream had ended — so windows spanning the
+        checkpoint boundary are neither lost nor double-counted
+        (matching ShardedSortCounter.save's tail contract)."""
+        tail = np.concatenate([self._carry] + self._pending) \
+            if self._pending else self._carry
+        self._pending, self._pending_n = [], 0
+        self._carry = np.empty(0, np.uint8)
+        self._launch(final=True)   # process already-prepared superbatches
+        self._drain()
+        keys, cnt = self._dump_device()   # pad rows dropped
         nd = keys.shape[0]
         cols = {f"col{i}": keys[:, i] for i in range(self.cfg.words)}
         cols[f"col{self.cfg.words}"] = cnt.astype(np.int32)
         np.savez_compressed(
             path, n_distinct=nd, k=self.cfg.k, mode=self.cfg.mode,
             min_abundance=self.cfg.min_abundance,
-            windows_processed=self.stats["windows_processed"], **cols,
+            windows_processed=self.stats["windows_processed"],
+            tail=tail, **cols,
         )
+        # the in-memory counter keeps its exact pre-save state
+        self._carry = tail
 
     @classmethod
     def load(cls, path: str, config: "SortCounterConfig | None" = None):
@@ -587,6 +602,8 @@ class SortKmerCounter:
         self.n_distinct = nd
         self.n_used = nd       # checkpoints are dense (pad rows dropped)
         self.stats["windows_processed"] = int(z["windows_processed"])
+        if "tail" in z.files:  # unprocessed boundary codes (see save)
+            self._carry = z["tail"].astype(np.uint8)
         return self
 
     # -- diagnostics -------------------------------------------------------

@@ -118,6 +118,11 @@ def window_keys_pallas(codes, *, k: int, n: int,
     blk = block_rows * _LANES
     if n % blk:
         raise ValueError(f"n={n} not a multiple of {blk}")
+    if k - 1 > blk:
+        # the halo BlockSpec provides exactly ONE lookahead block; a
+        # larger k would silently wrap the in-block rolls and corrupt
+        # keys (callers fall back to the XLA formulation)
+        raise ValueError(f"k={k} needs a halo of {k-1} > one block ({blk})")
     nb = n // blk
     need = (nb + 1) * blk
     pad = need - codes.shape[0]

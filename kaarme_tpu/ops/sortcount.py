@@ -515,6 +515,23 @@ def embed_bits(k: int) -> int:
     return 2 * (16 - r) if r else 0
 
 
+def resolve_compactor(mode: str, platform: str) -> str:
+    """Config ``compactor`` value -> superstep ``pallas`` argument.
+    THE single place the 'auto' routing lives (single-device and
+    sharded counters both call this — flip auto here after on-chip
+    A/B, per scripts/ONCHIP.md)."""
+    if mode == "auto":
+        return "on" if platform != "cpu" else "off"
+    return {"pallas": "on", "xla": "off", "interpret": "interpret",
+            "merge": "merge", "merge_interpret": "merge_interpret"}[mode]
+
+
+def resolve_winkeys(mode: str) -> str:
+    """Config ``winkeys`` value -> superstep ``winkeys`` argument
+    (same single-place contract as resolve_compactor)."""
+    return "legacy" if mode == "auto" else mode
+
+
 def next_store_size(x: int) -> int:
     """Smallest {2^m, 3*2^m} (m >= 12) value >= x — the distinct-store
     size ladder (bounded jit variants; every value is a multiple of
@@ -614,8 +631,12 @@ def _window_keys_any(codes, k: int, n: int, rows: int, pallas: str):
     otherwise the XLA formulation (bit-identical either way)."""
     if pallas in ("off", "merge_interpret") or n % 1024:
         return window_keys_from_codes(codes, k, n, rows)
-    from .pallas_winkeys import window_keys_pallas
     br = min(256, (n // 128) & -(n // 128))
+    if k - 1 > br * 128:
+        # the kernel's halo is one lookahead block — huge k on a small
+        # tail block would corrupt keys (guarded in the kernel too)
+        return window_keys_from_codes(codes, k, n, rows)
+    from .pallas_winkeys import window_keys_pallas
     return window_keys_pallas(codes, k=k, n=n, block_rows=br,
                               interpret=pallas == "interpret")
 

@@ -366,6 +366,33 @@ def _make_multihost_cls():
                  for s in self.prefix[-1].addressable_shards])
             return int((cnt > 0).sum()), int(cnt.size)
 
+        def as_dict_local(self) -> dict:
+            """This host's hash-partition as {kmer: count} (partitions
+            are disjoint; the union over hosts is the global answer)."""
+            return super().as_dict()
+
+        # Inherited global-answer APIs would silently return this
+        # host's partition (find/as_dict) or device_get non-addressable
+        # shards (save) — block them with actionable errors instead.
+
+        def find(self, kmers):
+            raise NotImplementedError(
+                "find() on a multi-host counter sees only this host's "
+                "hash-partition; query the merged output file, or run "
+                "find on each host and take the nonzero answer")
+
+        def as_dict(self) -> dict:
+            raise NotImplementedError(
+                "as_dict() would return only this host's partition; "
+                "use as_dict_local() (disjoint across hosts) or "
+                "write_output_part() + merge_parts()")
+
+        def save(self, path: str):
+            raise NotImplementedError(
+                "multi-host checkpointing is not supported: the store "
+                "is sharded across processes; write per-host parts via "
+                "write_output_part() instead")
+
     return MultiHostSortCounter
 
 
@@ -431,15 +458,24 @@ def main(argv=None) -> int:
             pass
     init_distributed(args.coordinator, args.num_processes, args.process_id)
 
+    from ..ops.sortcount import next_store_size
     from .sharded_sort import ShardedSortConfig
 
+    mesh = global_mesh(args.platform)
+    # -s sizes the distinct store like the reference's table size
+    # (reference main.cpp: table slots >= -s): split across the global
+    # mesh since prefix_cap is PER-DEVICE; growth covers underestimates.
+    cap = 1 << max(10, args.batch_log2 - 2)
+    if args.hash_tab_size:
+        ndev = int(mesh.devices.size)
+        cap = max(cap, next_store_size(-(-args.hash_tab_size // ndev)))
     cfg = ShardedSortConfig(
         k=args.KLEN, mode=args.hash_table_type, min_abundance=args.min_k_abu,
         batch_windows=1 << args.batch_log2,
         rows=1 << (args.batch_log2 // 2),
-        prefix_cap=1 << max(10, args.batch_log2 - 2),
+        prefix_cap=cap,
     )
-    c = MultiHostSortCounter(cfg, global_mesh(args.platform))
+    c = MultiHostSortCounter(cfg, mesh)
     c.count_file(args.INPUT)
     n = c.write_output_part(args.output_file)
     print(f"host {c.pid}/{c.nproc}: {n} k-mers -> "

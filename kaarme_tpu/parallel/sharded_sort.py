@@ -203,12 +203,8 @@ class ShardedSortCounter:
         return self
 
     def _pallas_mode(self) -> str:
-        c = self.cfg.compactor
-        if c == "auto":
-            platform = self.mesh.devices.ravel()[0].platform
-            return "on" if platform != "cpu" else "off"
-        return {"pallas": "on", "xla": "off", "interpret": "interpret",
-                "merge": "merge", "merge_interpret": "merge_interpret"}[c]
+        return sortcount.resolve_compactor(
+            self.cfg.compactor, self.mesh.devices.ravel()[0].platform)
 
     def _pack_rows(self, stream: np.ndarray, nrows: int,
                    force_dense: bool = False):
@@ -251,7 +247,7 @@ class ShardedSortCounter:
         w = cfg.words
         eb = sortcount.embed_bits(k)
         mode = self._pallas_mode()
-        wk = "legacy" if cfg.winkeys == "auto" else cfg.winkeys
+        wk = sortcount.resolve_winkeys(cfg.winkeys)
 
         def body(packed, sep, prefix):
             pref = tuple(p[0] for p in prefix)

@@ -115,9 +115,16 @@ def test_two_process_end_to_end(tmp_path):
     path = _random_fasta(tmp_path, seed=7, n_reads=400)
     out = str(tmp_path / "mh.counts")
     worker = str(tmp_path / "worker.py")
+    # pick a free coordinator port: a hardcoded one bind-collides with
+    # concurrent suite runs (or a lingering worker) on the same machine
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     with open(worker, "w") as f:
         f.write(_WORKER % {"repo": REPO, "fasta": path, "out": out,
-                           "port": 29571})
+                           "port": port})
     env = dict(os.environ)
     procs = [subprocess.Popen([sys.executable, worker, str(pid)], env=env,
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE)

@@ -18,6 +18,7 @@ singletons are counted once and filtered by the threshold), so strict
 equality applies there too.
 """
 
+import fcntl
 import os
 import subprocess
 import sys
@@ -34,17 +35,30 @@ def _build_reference():
     if os.path.exists(REF_BIN):
         return True
     build = os.path.join(REPO, ".refbuild")
-    try:
-        subprocess.run(
-            ["cmake", "-S", REF_SRC, "-B", build, "-DCMAKE_BUILD_TYPE=Release"],
-            check=True, capture_output=True, timeout=300)
-        subprocess.run(
-            ["cmake", "--build", build, "-j8"],
-            check=True, capture_output=True, timeout=600)
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
-            FileNotFoundError):
-        return False
-    return os.path.exists(REF_BIN)
+    os.makedirs(build, exist_ok=True)
+    # This runs at collection time in EVERY pytest-xdist worker (the
+    # suite defaults to -n 4); serialize the CMake build behind an
+    # exclusive file lock so concurrent workers don't race on the
+    # shared build directory — losers wait, re-check, and reuse it.
+    with open(os.path.join(build, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(REF_BIN):
+                return True
+            try:
+                subprocess.run(
+                    ["cmake", "-S", REF_SRC, "-B", build,
+                     "-DCMAKE_BUILD_TYPE=Release"],
+                    check=True, capture_output=True, timeout=300)
+                subprocess.run(
+                    ["cmake", "--build", build, "-j8"],
+                    check=True, capture_output=True, timeout=600)
+            except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+                    FileNotFoundError):
+                return False
+            return os.path.exists(REF_BIN)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 pytestmark = pytest.mark.skipif(

@@ -80,6 +80,37 @@ def test_checkpoint_resume(tmp_path):
     assert c2.as_dict() == full.as_dict()
 
 
+def test_checkpoint_midstream_preserves_boundary_windows(tmp_path):
+    """save() WITHOUT finish(): the buffered tail is checkpointed
+    verbatim, so windows spanning the save boundary survive resume with
+    no manual overlap re-feed — and the saving counter itself keeps
+    counting as if save never happened."""
+    from kaarme_tpu.models.sort_counter import SortCounterConfig, SortKmerCounter
+
+    k = 13
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, size=20000).astype(np.uint8)
+    cfg = dict(batch_windows=1 << 12, rows=1 << 6, prefix_cap=1 << 13,
+               min_abundance=1)
+    full = SortKmerCounter(SortCounterConfig(k=k, **cfg)).count_codes(codes)
+
+    c1 = SortKmerCounter(SortCounterConfig(k=k, **cfg))
+    cut = 9999   # deliberately NOT superbatch-aligned
+    c1.add_codes(codes[:cut])
+    ckpt = str(tmp_path / "mid.npz")
+    c1.save(ckpt)
+
+    c2 = SortKmerCounter.load(ckpt, SortCounterConfig(k=k, **cfg))
+    c2.add_codes(codes[cut:])        # no overlap re-feed
+    c2.finish()
+    assert c2.as_dict() == full.as_dict()
+
+    # the original counter is unperturbed by save()
+    c1.add_codes(codes[cut:])
+    c1.finish()
+    assert c1.as_dict() == full.as_dict()
+
+
 # -- CLI query loop -----------------------------------------------------------
 
 def test_cli_query(tmp_path, monkeypatch, capsys):
