@@ -149,3 +149,34 @@ def test_bloom_mode(fasta, tmp_path):
     got = _run_ours(fasta, 31, str(tmp_path / "tpu.out"),
                     ["-b", "-u", "60000"])
     assert got == ref
+
+
+_FORMAT_CASES = {
+    # sequence wrapped across lines (newline = factory reset in the
+    # reference's FASTA parser — windows never span wrapped lines)
+    "wrapped": b">r1\nACGTACGTACGTACGTACGT\nACGTACGTACGTACGTACGT\n"
+               b"TTTTGGGGCCCCAAAA\n>r2\nGGGCACGTACGTACGTACGTGGGTTTACG\n",
+    # lowercase bases are non-ACGT to the reference (char2int -> reset)
+    "lowercase": b">r1\nacgtacgtacgtACGTACGTacgt\n"
+                 b">r2\nACGTACGTACGTACGTACGTACGT\n",
+    "crlf": b">r1\r\nACGTACGTACGTACGTACGTACGT\r\n"
+            b">r2\r\nACGTACGTACGTACGTACGTACGT\r\n",
+    "empty_record": b">r1\n\n>r2\nACGTACGTACGTACGTACGTACGT\n"
+                    b"ACGTACGTACGTACGTACGTACGT\n",
+    "no_trailing_newline": b">r1\nACGTACGTACGTACGTACGTACGT",
+}
+
+
+@pytest.mark.parametrize("case", sorted(_FORMAT_CASES))
+def test_format_edge_cases(tmp_path, case):
+    """Input-format corners (wrapped records, case, CRLF, empty record,
+    missing trailing newline) match the reference binary byte-for-byte
+    — the synthetic-reads fixture only exercises one-line records."""
+    fa = tmp_path / f"{case}.fasta"
+    fa.write_bytes(_FORMAT_CASES[case])
+    ref = _run_reference(str(fa), 11, str(tmp_path / "ref.out"),
+                         ["-s", "10000", "-a", "1"])
+    got = _run_ours(str(fa), 11, str(tmp_path / "tpu.out"),
+                    ["-s", "10000", "-a", "1"])
+    assert got == ref
+    assert ref  # every case yields at least one countable k-mer
