@@ -167,6 +167,45 @@ _FORMAT_CASES = {
 }
 
 
+@pytest.mark.parametrize("k", [32, 64])
+def test_reference_bug_k_multiple_of_32(fasta, tmp_path, k):
+    """At k % 32 == 0 the REFERENCE emits garbage (shift-by-word-width
+    UB in its factory, /root/reference/source/kmer_factory.cpp:104-239):
+    at k=32 it outputs a single all-A k-mer; at k=64 none of its keys
+    are true k-mers of the input.  We follow the spec — assert our
+    output equals the independent string oracle AND record that the
+    reference still diverges (if a fixed reference ever appears, this
+    flags it so the equality net can widen)."""
+    from kaarme_tpu.utils import codec
+
+    got = _run_ours(fasta, k, str(tmp_path / "tpu.out"),
+                    ["-m", "2", "-s", "600000", "-a", "1"])
+    codes, _ = codec.encode_fasta(open(fasta, "rb").read())
+    golden = codec.golden_count(codes, k)
+    assert got == golden
+    ref = _run_reference(fasta, k, str(tmp_path / "ref.out"),
+                         ["-m", "2", "-s", "600000", "-a", "1"])
+    assert ref != golden, "reference fixed? widen the equality net"
+
+
+def test_reference_bug_gzip_loses_kmers(fasta, tmp_path):
+    """The reference's gzip chunk reader drops k-mers at chunk
+    boundaries (its gz output != its own output on the identical
+    decompressed file, /root/reference/include/text_reader.h:40-89).
+    Our gz path must equal our plain path exactly."""
+    import gzip
+
+    gz = str(tmp_path / "reads.fasta.gz")
+    with open(fasta, "rb") as f, open(gz, "wb") as g:
+        g.write(gzip.compress(f.read()))
+    plain_ours = _run_ours(fasta, 31, str(tmp_path / "p.out"),
+                           ["-s", "600000", "-a", "1"])
+    gz_ours = _run_ours(gz, 31, str(tmp_path / "g.out"),
+                        ["-s", "600000", "-a", "1"])
+    assert gz_ours == plain_ours
+    assert len(plain_ours) > 1000
+
+
 @pytest.mark.parametrize("case", sorted(_FORMAT_CASES))
 def test_format_edge_cases(tmp_path, case):
     """Input-format corners (wrapped records, case, CRLF, empty record,
