@@ -206,6 +206,36 @@ def test_reference_bug_gzip_loses_kmers(fasta, tmp_path):
     assert len(plain_ours) > 1000
 
 
+@pytest.mark.parametrize("mode", ["0", "2"])
+def test_count_clipping_vs_reference(tmp_path, mode):
+    """Count-representation contracts against the real binary: 70k-base
+    poly-A at k=30 yields 69971 occurrences of A^30 — mode 2 saturates
+    at 16383 (14-bit, reference source/kmer.cpp:699-713), mode 0 wraps
+    uint16 (69971 % 65536 = 4435, source/kmer_hash_table.cpp:2001)."""
+    fa = tmp_path / "polya.fasta"
+    fa.write_bytes(b">r\n" + b"A" * 70000 + b"\n")
+    ref = _run_reference(str(fa), 30, str(tmp_path / "ref.out"),
+                         ["-m", mode, "-s", "10000", "-a", "1"])
+    got = _run_ours(str(fa), 30, str(tmp_path / "tpu.out"),
+                    ["-m", mode, "-s", "10000", "-a", "1"])
+    assert got == ref
+    assert ref["A" * 30] == (16383 if mode == "2" else 69971 % 65536)
+
+
+def test_palindrome_tiebreak_vs_reference(tmp_path):
+    """Even k admits palindromic k-mers (s == revcomp(s), e.g. ACGT);
+    the canonical tie goes to forward (reference
+    source/kmer_factory.cpp:219-233) — pinned against the binary."""
+    fa = tmp_path / "pal.fasta"
+    fa.write_bytes(b">r\nACGTACGTTTTTAAAAACGT\n")
+    ref = _run_reference(str(fa), 4, str(tmp_path / "ref.out"),
+                         ["-s", "1000", "-a", "1"])
+    got = _run_ours(str(fa), 4, str(tmp_path / "tpu.out"),
+                    ["-s", "1000", "-a", "1"])
+    assert got == ref
+    assert "ACGT" in ref   # the palindrome is present and forward-form
+
+
 @pytest.mark.parametrize("case", sorted(_FORMAT_CASES))
 def test_format_edge_cases(tmp_path, case):
     """Input-format corners (wrapped records, case, CRLF, empty record,
