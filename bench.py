@@ -109,6 +109,19 @@ def run_verify(args):
     all_ok = all_ok and ok
     results["golden_equality_merge_kernel"] = (
         f"PASS ({len(golden)} distinct)" if ok else "FAIL")
+
+    # 4) packed window-key extraction (direct shift-or from the packed
+    # words) composed with each superstep family
+    for compactor in ("auto", "merge"):
+        cfg = SortCounterConfig(
+            k=51, batch_windows=1 << 17, rows=1 << 9, superbatch_batches=2,
+            prefix_cap=1 << 18, min_abundance=1, compactor=compactor,
+            winkeys="packed")
+        c = SortKmerCounter(cfg).count_codes(codes)
+        ok = c.as_dict() == golden
+        all_ok = all_ok and ok
+        results[f"golden_equality_packed_{compactor}"] = (
+            "PASS" if ok else "FAIL")
     results["verdict"] = "PASS" if all_ok else "FAIL"
     print(json.dumps(results))
     return 0 if all_ok else 1
