@@ -102,7 +102,7 @@ sys.argv = ["mh", %(fasta)r, "31",
             "--coordinator", "localhost:%(port)d",
             "--num-processes", "2", "--process-id", sys.argv[1],
             "--platform", "cpu", "-a", "1",
-            "--batch-log2", "12", "-o", %(out)r]
+            "--batch-log2", "12", "-s", "60000", "-o", %(out)r]
 from kaarme_tpu.parallel.multihost import main
 sys.exit(main())
 """
