@@ -206,6 +206,29 @@ def test_reference_bug_gzip_loses_kmers(fasta, tmp_path):
     assert len(plain_ours) > 1000
 
 
+@pytest.mark.slow
+def test_ecoli_scale_driver_config(tmp_path):
+    """The driver's headline correctness config (README example shape:
+    k=51, -s 8000000, genome-scale coverage — reference README.md:64-74)
+    at reduced scale: ~600 kb genome x 8x 150 bp reads (~2 M windows,
+    ~500 k distinct count>=2 k-mers), byte-equal outputs."""
+    rng = np.random.default_rng(11)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    glen = 600_000
+    genome = rng.integers(0, 4, size=glen).astype(np.uint8)
+    fa = tmp_path / "ecoli_scale.fasta"
+    with open(fa, "wb") as f:
+        for i in range(32000):
+            s = int(rng.integers(0, glen - 150))
+            f.write(b">r%d\n" % i + lut[genome[s:s + 150]].tobytes() + b"\n")
+    ref = _run_reference(str(fa), 51, str(tmp_path / "ref.out"),
+                         ["-m", "2", "-s", "8000000"])
+    got = _run_ours(str(fa), 51, str(tmp_path / "tpu.out"),
+                    ["-m", "2", "-s", "8000000"])
+    assert got == ref
+    assert len(ref) > 300_000
+
+
 @pytest.mark.parametrize("mode", ["0", "2"])
 def test_count_clipping_vs_reference(tmp_path, mode):
     """Count-representation contracts against the real binary: 70k-base
