@@ -55,6 +55,17 @@ _LANES = 128
 _BLOCK_ROWS = 256
 
 
+def _pow2(x: int) -> int:
+    """Next power of two >= x.  Interleaved (rows, planes, 128) DMA
+    slabs MUST have a power-of-two plane count: measured on the target
+    toolchain, a VMEM<->ANY async copy of a 3D buffer with plane count
+    in {3, 5, 6} hard-faults the TPU runtime ({1, 2, 4, 8} work), and
+    the 2D lane-major alternative is rejected at compile time because
+    dynamic row offsets can't be proven 8-aligned.  Dummy planes carry
+    sentinel fill and are ignored by the de-interleave."""
+    return 1 << (x - 1).bit_length()
+
+
 def block_elems(block_rows: int = _BLOCK_ROWS) -> int:
     """Rows consumed per grid step — callers pad N to a multiple."""
     return block_rows * _LANES
@@ -260,8 +271,12 @@ def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask):
 def dense_stage(cur, av, acount, r, residual, S: int, W: int):
     """Shared dense staging: shift the alive-packed block by the carried
     residual count, splice the residual row in, and compute the next
-    residual.  Returns (staged list of (S+1, 128) planes, new_res list
-    of (1, 128) rows, full_rows, new_r)."""
+    residual.  ``residual`` is a (1, (W+1)*128) lane-major VMEM ref,
+    plane w in lanes [w*128, (w+1)*128) — 2D because it is VMEM-only
+    (never DMA'd), so the _pow2 plane-count constraint on DMA slabs
+    does not apply and no dummy planes are needed.  Returns (staged
+    list of (S+1, 128) planes, new_res list of (1, 128) rows,
+    full_rows, new_r)."""
     total_el = r.astype(jnp.int32) + acount
     full_rows = total_el // _LANES
     new_r = total_el % _LANES
@@ -270,7 +285,8 @@ def dense_stage(cur, av, acount, r, residual, S: int, W: int):
     for w in range(W + 1):
         fill = jnp.uint32(0) if w == W else SENT
         clean = jnp.where(av == 1, cur[w], fill)
-        staged = _shift_fwd_dyn(clean, r, S, fill, residual[w])
+        res_w = residual[:, w * _LANES:(w + 1) * _LANES]
+        staged = _shift_fwd_dyn(clean, r, S, fill, res_w)
         staged_all.append(staged)
         picked = _row_at_dyn(staged, full_rows, S + 1, jnp.uint32)
         res_all.append(jnp.where(lane1 < new_r, picked, fill))
@@ -282,8 +298,9 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
     """Build the kernel body.  Refs:
       ins:  s_0..s_{W-1} [, cnt_in]   each (S, 128) blocks
       outs: o_0..o_{W-1}, o_cnt (ANY/HBM, full arrays), nd (SMEM (2,))
-      scratch: carry SMEM (W+5,), vout VMEM (W+1, S[+1], 128),
-               [residual VMEM (W+1, 1, 128) in dense mode,] sem DMA
+      scratch: carry SMEM (W+5,), vout VMEM (S[+1], P, 128) with
+               P = pow2(W+1) (see _pow2),
+               [residual VMEM (1, (W+1)*128) in dense mode,] sem DMA
     carry layout: [0..W): prev key words (count-stripped);
       [W]: prev cnt; [W+1]: prev sent; [W+2]: prev segstart;
       [W+3]: row cursor; [W+4]: residual element count (dense mode);
@@ -325,9 +342,9 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
             nd_ref[0] = jnp.int32(0)
             nd_ref[1] = jnp.int32(0)
             if dense:
-                for w in range(W):
-                    residual[w] = jnp.full((1, _LANES), SENT, jnp.uint32)
-                residual[W] = jnp.zeros((1, _LANES), jnp.uint32)
+                residual[...] = jnp.concatenate(
+                    [jnp.full((1, W * _LANES), SENT, jnp.uint32),
+                     jnp.zeros((1, _LANES), jnp.uint32)], axis=1)
 
         key = [in_refs[w][...] for w in range(W)]
         if embedded:
@@ -349,7 +366,7 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
         if dense:
             staged_all, res_all, full_rows, new_r = dense_stage(
                 cur, av, acount, carry[W + 4], residual, S, W)
-            residual[...] = jnp.stack(res_all, axis=0)
+            residual[...] = jnp.concatenate(res_all, axis=1)
             arows = full_rows
             nrows_dma = S + 1
         else:
@@ -359,7 +376,10 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
             nrows_dma = S
         # ONE interleaved output DMA per block (per-plane streams paid
         # the ~24 us fixed DMA cost W+1 times per block; the caller
-        # de-interleaves in XLA, which is a cheap strided copy)
+        # de-interleaves in XLA, which is a cheap strided copy).
+        # The plane dim is padded to a power of two (see _pow2)
+        for _ in range(_pow2(W + 1) - (W + 1)):
+            staged_all.append(jnp.full_like(staged_all[0], SENT))
         vout[...] = jnp.stack(staged_all, axis=1)
         out_dma = pltpu.make_async_copy(
             vout, out_ref.at[pl.ds(cursor, nrows_dma)], sem)
@@ -413,9 +433,10 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
     kern = _compact_kernel(W, S, embedded, ebits, dense)
 
     nin = len(cols)
+    P = _pow2(W + 1)
     out_rows = N // _LANES + S + 1
     out_shapes = [
-        jax.ShapeDtypeStruct((out_rows, W + 1, _LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((out_rows, P, _LANES), jnp.uint32),
         jax.ShapeDtypeStruct((2,), jnp.int32),
     ]
     grid = (nblocks,)
@@ -425,10 +446,10 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
     out_specs = [pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pltpu.SMEM)]
     scratch = [pltpu.SMEM((W + 5,), jnp.uint32),
-               pltpu.VMEM((S + (1 if dense else 0), W + 1, _LANES),
+               pltpu.VMEM((S + (1 if dense else 0), P, _LANES),
                           jnp.uint32)]
     if dense:
-        scratch.append(pltpu.VMEM((W + 1, 1, _LANES), jnp.uint32))
+        scratch.append(pltpu.VMEM((1, (W + 1) * _LANES), jnp.uint32))
     scratch.append(pltpu.SemaphoreType.DMA(()))
     out, nd = pl.pallas_call(
         kern,

@@ -25,7 +25,7 @@ Design (classic merge-path, self-pacing variant):
     - DMA A[ca : ca + R] and the next R ascending elements of B
       (= B_desc[Nb' - cb - R : Nb' - cb], already in descending order)
       into VMEM — ONE DMA per side: the caller interleaves columns
-      into a (rows, planes, 128) layout so each side is one
+      into a (rows, pow2(planes), 128) layout so each side is one
       contiguous slab (per-DMA fixed cost ~24 us/stream/block
       dominates this kernel's budget — see DESIGN.md section 0);
     - concat(A_tile asc, B_tile desc) is BITONIC: a log2(2R)-stage
@@ -66,6 +66,7 @@ from .pallas_compact import (
     _LANES,
     _flat_pos,
     _flat_roll_back,
+    _pow2,
     dense_stage,
     segsum_rows,
 )
@@ -146,11 +147,12 @@ def _bitonic_merge(planes, S2: int):
 def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
                   rows_a: int, rows_b: int):
     """Kernel body.  Refs:
-      ins:  a (rows_a, WA, 128) ANY, b (rows_b, W, 128) ANY
-      outs: o (out_rows, W+1, 128) ANY, nd SMEM (2,)
-      scratch: carry SMEM (W+7,), a_tile VMEM (S+1, WA, 128),
-               b_tile VMEM (S+1, W, 128), vout VMEM (S+1, W+1, 128),
-               residual VMEM (W+1, 1, 128), sem DMA (3,)
+      ins:  a (rows_a, PA, 128) ANY, b (rows_b, PB, 128) ANY
+      outs: o (out_rows, PO, 128) ANY, nd SMEM (2,)
+      scratch: carry SMEM (W+7,), a_tile VMEM (S+1, PA, 128),
+               b_tile VMEM (S+1, PB, 128), vout VMEM (S+1, PO, 128),
+               residual VMEM (1, (W+1)*128), sem DMA (3,)
+      (P* = pow2 plane counts — DMA slab constraint, see _pow2)
     carry: [0..W) prev key, [W] prev cnt, [W+1] prev sent,
       [W+2] prev segstart, [W+3] out row cursor, [W+4] residual count,
       [W+5] ca, [W+6] cb.
@@ -164,6 +166,7 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
     # headroom row (read but unused when the window is row-aligned)
     nb_content_el = (rows_b - 1) * _LANES
     nb_el = nb_content_el - (S + 1) * _LANES   # real B elements
+    PA, PB, PO = _pow2(WA), _pow2(W), _pow2(W + 1)
 
     def kernel(a_ref, b_ref, out_ref, nd_ref, carry, a_tile, b_tile,
                vout, residual, sem):
@@ -182,9 +185,9 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
             carry[W + 6] = jnp.uint32(0)   # cb
             nd_ref[0] = jnp.int32(0)
             nd_ref[1] = jnp.int32(0)
-            for w in range(W):
-                residual[w] = jnp.full((1, _LANES), SENT, jnp.uint32)
-            residual[W] = jnp.zeros((1, _LANES), jnp.uint32)
+            residual[...] = jnp.concatenate(
+                [jnp.full((1, W * _LANES), SENT, jnp.uint32),
+                 jnp.zeros((1, _LANES), jnp.uint32)], axis=1)
 
         ca = jnp.minimum(carry[W + 5], jnp.uint32(na_el)).astype(jnp.int32)
         cb = jnp.minimum(carry[W + 6], jnp.uint32(nb_el)).astype(jnp.int32)
@@ -206,7 +209,10 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
         in_a.wait()
         in_b.wait()
 
-        # align tiles to the element cursors; keep the first S rows
+        # align tiles to the element cursors; keep the first S rows.
+        # tiles are (S+1, P, 128) with P = pow2(plane count): DMA slabs
+        # need power-of-two plane counts (see _pow2 in pallas_compact);
+        # dummy planes beyond the real count are never read
         def tile_planes(tile, nplanes, j):
             out = []
             for w in range(nplanes):
@@ -248,10 +254,13 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
         cursor = carry[W + 3].astype(jnp.int32)
         staged_all, res_all, full_rows, new_r = dense_stage(
             cur, av, acount, carry[W + 4], residual, S, W)
+        # pad the plane dim to PO with dummy sentinel planes (see _pow2);
         # single whole-buffer writes (strided per-plane VMEM stores are
         # the riskier Mosaic lowering)
+        for _ in range(PO - (W + 1)):
+            staged_all.append(jnp.full_like(staged_all[0], SENT))
         vout[...] = jnp.stack(staged_all, axis=1)
-        residual[...] = jnp.stack(res_all, axis=0)
+        residual[...] = jnp.concatenate(res_all, axis=1)
 
         out_dma = pltpu.make_async_copy(
             vout, out_ref.at[pl.ds(cursor, S + 1)], sem.at[2])
@@ -272,8 +281,10 @@ def _merge_kernel(W: int, S: int, embedded: bool, ebits: int,
 
 
 def _interleave(cols, margin_rows: int, fills):
-    """Stack flat columns into the (rows + margin, len(cols), 128)
-    slab layout; margin rows are filled per-column."""
+    """Stack flat columns into the (rows + margin, P, 128) slab layout,
+    P = pow2(len(cols)) (DMA slabs need power-of-two plane counts — see
+    _pow2 in pallas_compact); margin rows are filled per-column and
+    dummy planes are sentinel."""
     rows = cols[0].shape[0] // _LANES
     planes = []
     for c, fill in zip(cols, fills):
@@ -281,6 +292,8 @@ def _interleave(cols, margin_rows: int, fills):
         planes.append(jnp.concatenate(
             [jax.lax.bitcast_convert_type(c, jnp.uint32), pad]
         ).reshape(rows + margin_rows, 1, _LANES))
+    for _ in range(_pow2(len(cols)) - len(cols)):
+        planes.append(jnp.full_like(planes[0], SENT))
     return jnp.concatenate(planes, axis=1)
 
 
@@ -338,15 +351,19 @@ def merge_compact_dense(a_cols, b_desc_cols, *, embedded: bool, ebits: int,
         .reshape(-1, 1, _LANES)
         for c in b_desc_cols
     ]
+    for _ in range(_pow2(W) - W):
+        b_planes.append(jnp.full_like(b_planes[0], SENT))
     b = jnp.concatenate(b_planes, axis=1)
 
     rows_a, rows_b = a.shape[0], b.shape[0]
     out_rows = (ntot + npad) // _LANES + S + 1
     kern = _merge_kernel(W, S, embedded, ebits, rows_a, rows_b)
+    WA = W + (0 if embedded else 1)
+    PA, PB, PO = _pow2(WA), _pow2(W), _pow2(W + 1)
     out, nd = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((out_rows, W + 1, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((out_rows, PO, _LANES), jnp.uint32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ],
         grid=(nblocks,),
@@ -356,11 +373,10 @@ def merge_compact_dense(a_cols, b_desc_cols, *, embedded: bool, ebits: int,
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
             pltpu.SMEM((W + 7,), jnp.uint32),
-            pltpu.VMEM((S + 1, W + (0 if embedded else 1), _LANES),
-                       jnp.uint32),
-            pltpu.VMEM((S + 1, W, _LANES), jnp.uint32),
-            pltpu.VMEM((S + 1, W + 1, _LANES), jnp.uint32),
-            pltpu.VMEM((W + 1, 1, _LANES), jnp.uint32),
+            pltpu.VMEM((S + 1, PA, _LANES), jnp.uint32),
+            pltpu.VMEM((S + 1, PB, _LANES), jnp.uint32),
+            pltpu.VMEM((S + 1, PO, _LANES), jnp.uint32),
+            pltpu.VMEM((1, (W + 1) * _LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

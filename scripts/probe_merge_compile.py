@@ -83,28 +83,38 @@ def main():
         return (np.asarray(ok[0][:ndu_i]), np.asarray(oc[:ndu_i]),
                 int(nd), ndu_i)
 
-    k, n, rws = 31, 1 << 12, 1 << 5
-    ebk = sortcount.embed_bits(k)
-    codes = rng.integers(0, 5, size=n + k - 1).astype(np.uint8)
-    packed, _ = sortcount.pack_stream_np(codes)
-    seps = np.flatnonzero(codes >= 4).astype(np.uint32)
-    sep = np.full(max(n // 32, seps.shape[0]), n + k - 1, np.uint32)
-    sep[: seps.shape[0]] = seps
-    prefix = sortcount.make_store(1 << 13, sortcount.words_per_kmer(k))
+    def make_superstep_case(k):
+        # k=31 -> W=2, separate-count (ebits 2 < 21); k=51 -> W=4,
+        # embedded — together they cover odd AND even interleaved plane
+        # counts (W+1 = 3 and 5), the exact family the lane-major 2D
+        # layout fix exists for
+        n, rws = 1 << 12, 1 << 5
+        ebk = sortcount.embed_bits(k)
+        codes = rng.integers(0, 5, size=n + k - 1).astype(np.uint8)
+        packed, _ = sortcount.pack_stream_np(codes)
+        seps = np.flatnonzero(codes >= 4).astype(np.uint32)
+        sep = np.full(max(n // 32, seps.shape[0]), n + k - 1, np.uint32)
+        sep[: seps.shape[0]] = seps
+        prefix = sortcount.make_store(1 << 13, sortcount.words_per_kmer(k))
 
-    def case_superstep(interp):
-        out, nd = sortcount.superstep_merged(
-            jnp.asarray(packed), jnp.asarray(sep), prefix,
-            k=k, n=n, rows=rws, ebits=ebk,
-            pallas="merge_interpret" if interp else "merge")
-        ndi = int(nd[0])
-        return tuple(np.asarray(c[:ndi]) for c in out) + (ndi,)
+        def case(interp):
+            out, nd = sortcount.superstep_merged(
+                jnp.asarray(packed), jnp.asarray(sep), prefix,
+                k=k, n=n, rows=rws, ebits=ebk,
+                pallas="merge_interpret" if interp else "merge")
+            ndi = int(nd[0])
+            return tuple(np.asarray(c[:ndi]) for c in out) + (ndi,)
+
+        return case
 
     ok = True
     ok &= check("dense segsum_compact (compiled vs interpret)",
                 case_dense_compact)
     ok &= check("merge_compact_dense (compiled vs interpret)", case_merge)
-    ok &= check("superstep_merged (compiled vs interpret)", case_superstep)
+    ok &= check("superstep_merged k=31 W=2 (compiled vs interpret)",
+                make_superstep_case(31))
+    ok &= check("superstep_merged k=51 W=4 (compiled vs interpret)",
+                make_superstep_case(51))
     print("ALL PASS" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
