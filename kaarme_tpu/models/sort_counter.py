@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..io import codebuf
 from ..io import fastio
 from ..io import reader as io_reader
 from ..ops import sortcount
@@ -125,9 +126,7 @@ class SortKmerCounter:
         self.n_distinct = 0
         self.n_used = 0     # prefix rows occupied (>= n_distinct: the Pallas
                             # compactor intersperses sentinel pad rows)
-        self._carry = np.empty(0, np.uint8)
-        self._pending = []      # encoded chunks awaiting a full superbatch
-        self._pending_n = 0
+        self._buf = codebuf.CodeBuffer()  # encoded codes awaiting superbatches
         # in-flight supersteps: deque of (new_prefix, nd_handle, replay),
         # replay = (packed_d, sep_d, n, dense, old_prefix).  Dispatch is
         # OPTIMISTIC: superstep s+1 chains on s's (unverified) output
@@ -159,26 +158,18 @@ class SortKmerCounter:
     # -- streaming ---------------------------------------------------------
 
     def add_codes(self, codes: np.ndarray):
-        codes = np.asarray(codes, np.uint8)
-        if codes.shape[0] == 0:
-            return
-        self._pending.append(codes)
-        self._pending_n += codes.shape[0]
+        self._buf.append(codes)
         sb = self.cfg.superstep_windows
-        while self._carry.shape[0] + self._pending_n >= sb + self.cfg.k - 1:
-            stream = np.concatenate([self._carry] + self._pending)
-            self._pending = [stream[sb:]]
-            self._pending_n = stream.shape[0] - sb
-            self._carry = np.empty(0, np.uint8)
-            self._process_stream(stream[: sb + self.cfg.k - 1], sb)
+        need = sb + self.cfg.k - 1
+        while len(self._buf) >= need:
+            # zero-copy view in the common (large-chunk) case; the k-1
+            # overlap is cursor arithmetic, not a carry copy
+            self._process_stream(self._buf.take(need, sb), sb)
 
     def finish(self):
         """Process the remaining tail (padded with separators) and drain
         the in-flight superstep."""
-        stream = np.concatenate([self._carry] + self._pending) if self._pending \
-            else self._carry
-        self._pending, self._pending_n = [], 0
-        self._carry = np.empty(0, np.uint8)
+        stream = self._buf.take_all()
         if stream.shape[0] >= self.cfg.k:
             self._process_stream(stream, stream.shape[0] - self.cfg.k + 1)
         self._launch(final=True)
@@ -456,7 +447,7 @@ class SortKmerCounter:
         stream-so-far is treated as complete (windows that WOULD span a
         dump boundary and later input are not formed — same semantics as
         the reference's single-shot run ending)."""
-        if self._pending or self._carry.shape[0]:
+        if len(self._buf):
             self.finish()
 
     def dump(self):
@@ -547,10 +538,7 @@ class SortKmerCounter:
         flushed as if the stream had ended — so windows spanning the
         checkpoint boundary are neither lost nor double-counted
         (matching ShardedSortCounter.save's tail contract)."""
-        tail = np.concatenate([self._carry] + self._pending) \
-            if self._pending else self._carry
-        self._pending, self._pending_n = [], 0
-        self._carry = np.empty(0, np.uint8)
+        tail = self._buf.take_all()
         self._launch(final=True)   # process already-prepared superbatches
         self._drain()
         keys, cnt = self._dump_device()   # pad rows dropped
@@ -564,7 +552,7 @@ class SortKmerCounter:
             tail=tail, **cols,
         )
         # the in-memory counter keeps its exact pre-save state
-        self._carry = tail
+        self._buf.append(tail)
 
     @classmethod
     def load(cls, path: str, config: "SortCounterConfig | None" = None):
@@ -603,7 +591,7 @@ class SortKmerCounter:
         self.n_used = nd       # checkpoints are dense (pad rows dropped)
         self.stats["windows_processed"] = int(z["windows_processed"])
         if "tail" in z.files:  # unprocessed boundary codes (see save)
-            self._carry = z["tail"].astype(np.uint8)
+            self._buf.append(z["tail"].astype(np.uint8))
         return self
 
     # -- diagnostics -------------------------------------------------------

@@ -299,7 +299,11 @@ def window_keys_packed(packed, invalid, k: int, n: int):
     for w in range(W):
         col = jnp.stack([sel[p][w] for p in range(16)], axis=1).reshape(-1)
         out.append(col | smask)
-    return tuple(out)
+    # Barrier-fence the finished keys: without this, XLA fuses the whole
+    # phase-grouped shift/select network INTO the consumer sort (the
+    # module-docstring pathology) — measured 5x end-to-end loss on-chip
+    # (bench --winkeys packed: 7.2M/s unfenced vs the legacy path's 37M/s).
+    return _B(tuple(out))
 
 
 def window_keys_from_codes(codes, k: int, n: int, rows: int):

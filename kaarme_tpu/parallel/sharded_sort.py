@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..io import codebuf
 from ..io import fastio
 from ..ops import sortcount
 from ..ops.hashing import hash_words
@@ -78,9 +79,7 @@ class ShardedSortCounter:
         self.prefix = tuple(
             self._put_const(0xFFFFFFFF, np.uint32, cap) for _ in range(w)
         ) + (self._put_const(0, np.int32, cap),)
-        self._carry = np.empty(0, np.uint8)
-        self._pending = []
-        self._pending_n = 0
+        self._buf = codebuf.CodeBuffer()
         self._exchanged = False
         self.stats = {"windows_processed": 0, "batches": 0, "compactions": 0,
                       "grow_events": 0}
@@ -163,24 +162,18 @@ class ShardedSortCounter:
     # -- streaming ---------------------------------------------------------
 
     def add_codes(self, codes: np.ndarray):
-        codes = np.asarray(codes, np.uint8)
-        if codes.shape[0] == 0:
-            return
-        self._pending.append(codes)
-        self._pending_n += codes.shape[0]
+        self._buf.append(codes)
         sb = self.ndev * self.cfg.batch_windows
-        while self._carry.shape[0] + self._pending_n >= sb + self.cfg.k - 1:
-            stream = np.concatenate([self._carry] + self._pending)
-            self._pending = [stream[sb:]]
-            self._pending_n = stream.shape[0] - sb
-            self._carry = np.empty(0, np.uint8)
-            self._flush(stream[: sb + self.cfg.k - 1], sb)
+        need = sb + self.cfg.k - 1
+        while len(self._buf) >= need:
+            # zero-copy view in the common (large-chunk) case; the k-1
+            # overlap is cursor arithmetic, not a carry copy (see
+            # io/codebuf.py — the old per-superbatch re-concatenation
+            # measured ~half the bench wall time)
+            self._flush(self._buf.take(need, sb), sb)
 
     def finish(self):
-        stream = np.concatenate([self._carry] + self._pending) if self._pending \
-            else self._carry
-        self._pending, self._pending_n = [], 0
-        self._carry = np.empty(0, np.uint8)
+        stream = self._buf.take_all()
         if stream.shape[0] >= self.cfg.k:
             sb = self.ndev * self.cfg.batch_windows
             padded = np.full(sb + self.cfg.k - 1, codec.SEP, np.uint8)
@@ -471,8 +464,8 @@ class ShardedSortCounter:
         cnt = cols[-1]
         alive = cnt > 0
         keys = np.stack([c[alive] for c in cols[:w]], axis=1)
-        tail = np.concatenate([self._carry] + self._pending) if self._pending \
-            else self._carry
+        tail = self._buf.take_all()
+        self._buf.append(tail)   # the live counter is left untouched
         np.savez_compressed(
             path, kind="sharded_sort", k=self.cfg.k, mode=self.cfg.mode,
             min_abundance=self.cfg.min_abundance, keys=keys,
@@ -534,6 +527,6 @@ class ShardedSortCounter:
         cols.append(self._put_rows(ccol))
         self.prefix = tuple(cols)
         if "tail" in z and z["tail"].shape[0]:
-            self._carry = z["tail"].astype(np.uint8)
+            self._buf.append(z["tail"].astype(np.uint8))
         self.stats["windows_processed"] = int(z["windows_processed"])
         return self
