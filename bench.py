@@ -151,6 +151,9 @@ def main():
                     help="superstep variant (auto/pallas/xla/merge/...)")
     ap.add_argument("--winkeys", default="auto",
                     help="window-key extraction (auto/packed/codes/legacy)")
+    ap.add_argument("--pipeline", default="classic",
+                    help="counting pipeline: classic (one sorted row per "
+                         "window) or skm (minimizer-run dedup, ops/skm.py)")
     ap.add_argument("--verify", action="store_true",
                     help="correctness mode: count a small workload on the "
                          "real device (all Pallas kernels active), diff "
@@ -180,17 +183,27 @@ def main():
         for leaf in jax.tree_util.tree_leaves(tree):
             np.asarray(leaf[:1])
 
+    common = dict(
+        k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
+        merge_every=args.merge_every, superbatch_batches=args.superbatch,
+        prefix_cap=1 << args.prefix_log2, min_abundance=2,
+    )
+    if args.pipeline == "skm":
+        from kaarme_tpu.models.skm_counter import SkmCounter, SkmCounterConfig
+
+        def make_counter():
+            return SkmCounter(SkmCounterConfig(**common))
+    else:
+        def make_counter():
+            return SortKmerCounter(SortCounterConfig(
+                compactor=args.compactor, winkeys=args.winkeys, **common))
+
     def run_once():
-        cfg = SortCounterConfig(
-            k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
-            merge_every=args.merge_every, superbatch_batches=args.superbatch,
-            prefix_cap=1 << args.prefix_log2,
-            min_abundance=2, compactor=args.compactor,
-            winkeys=args.winkeys,
-        )
-        c = SortKmerCounter(cfg)
+        c = make_counter()
         t0 = time.perf_counter()
         c.count_codes(codes)
+        if args.pipeline == "skm":
+            c.dump()           # include finalize expansion in skm timing
         drain(c.prefix)
         dt = time.perf_counter() - t0
         return dt, c

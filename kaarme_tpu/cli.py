@@ -30,7 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("INPUT", help="Input file (automatic format detection)")
     p.add_argument("KLEN", type=int, help="k-mer length")
     p.add_argument("-m", "--hash-table-type", type=int, default=2, choices=(0, 1, 2),
-                   help="Hash table type: 0 for plain and 2 for kaarme (def. 2)")
+                   help="Hash table type: 0 for plain and 2 for kaarme (def. 2). "
+                        "1 (the reference's undocumented legacy variant of the "
+                        "kaarme table with identical counting semantics — "
+                        "SURVEY.md section 2.3) is accepted as an alias for 2.")
     p.add_argument("-a", "--min-k-abu", type=int, default=2,
                    help="Minimum abundance threshold for the output k-mers (def. 2)")
     p.add_argument("-t", "--threads", type=int, default=3,
@@ -59,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel on TPU, XLA elsewhere), merge (linear "
                         "run-merge kernel — sorts only the batch and streams "
                         "the prefix), or explicit overrides (def. auto)")
+    p.add_argument("--pipeline", choices=("classic", "skm"), default="classic",
+                   help="Sort-backend counting pipeline: 'classic' sorts one "
+                        "row per window; 'skm' deduplicates minimizer runs "
+                        "(super-k-mers) before sorting — faster on "
+                        "high-coverage inputs, requires k >= 16 (def. classic)")
     p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
     p.add_argument("--query", action="store_true",
                    help="After counting, read k-mers from stdin and print their "
@@ -89,6 +97,11 @@ def validate(args) -> str:
         return "--backend table does not support --devices; use the sort backend"
     if args.devices > 1 and args.use_bfilter:
         return "-b/--use-bfilter does not support --devices yet"
+    if args.pipeline == "skm":
+        if args.KLEN < 16:
+            return "--pipeline skm requires KLEN >= 16"
+        if args.use_bfilter or args.devices > 1 or args.backend != "sort":
+            return "--pipeline skm supports only the single-device sort backend"
     if not os.path.isfile(args.INPUT):
         return f"input file {args.INPUT} does not exist"
     return ""
@@ -221,7 +234,7 @@ def main(argv=None) -> int:
         # 16M-window compiles (file bytes upper-bound the window count)
         est = max(os.path.getsize(args.INPUT), 1)
         blog2 = max(12, min(24, (est - 1).bit_length()))
-        cfg = SortCounterConfig(
+        kw = dict(
             k=args.KLEN,
             min_slots=args.hash_tab_size,
             mode=args.hash_table_type,
@@ -231,7 +244,12 @@ def main(argv=None) -> int:
             prefix_cap=1 << max(12, min(22, blog2)),
             compactor=args.compactor,
         )
-        counter = SortKmerCounter(cfg)
+        if args.pipeline == "skm":
+            from .models.skm_counter import SkmCounter, SkmCounterConfig
+
+            counter = SkmCounter(SkmCounterConfig(**kw))
+        else:
+            counter = SortKmerCounter(SortCounterConfig(**kw))
         counter.count_file(args.INPUT, prefetch=max(1, args.threads - 2))
     else:
         cfg = CounterConfig(

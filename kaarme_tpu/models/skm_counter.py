@@ -1,0 +1,165 @@
+"""Streaming counter on the super-k-mer (minimizer-run) pipeline.
+
+Same user surface and the same streaming / optimistic-dispatch /
+grow-and-replay machinery as models.sort_counter.SortKmerCounter — only
+the device superstep differs: instead of sorting one row per window
+(ops/sortcount.py), the stream is segmented into minimizer runs and the
+~n/12 deduplicating RUN rows are sorted and merged into a run store
+(ops/skm.py).  Canonical k-mer keys materialize once, at finalize, from
+the distinct runs (~genome mass, not stream mass).
+
+Extra verification scalar: each superstep reports the maximum number of
+run starts in any 512-window tile; when it exceeds the slot budget S
+the superstep dropped rows, so the driver bumps S one ladder step and
+replays — the run-domain analogue of capacity grow-and-replay (the
+reference's analogous failure is table-full exit(1),
+source/kmer_hash_table.cpp:2553-2556, replaced here like everywhere
+else by replay).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops import skm
+from ..utils import codec
+from .sort_counter import SortCounterConfig, SortKmerCounter
+
+
+@dataclasses.dataclass
+class SkmCounterConfig(SortCounterConfig):
+    skm_slots: int = 96        # run-slot budget S per 512-window tile
+                               # (ladder-doubled on overflow, max TILE)
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not skm.supported(self.k):
+            raise ValueError(f"skm pipeline requires k >= {skm.M}")
+        if self.batch_windows % skm.TILE:
+            raise ValueError(
+                f"batch_windows must be a multiple of {skm.TILE}")
+
+    @property
+    def words(self) -> int:
+        """Store columns are RUN rows (content words + meta), not k-mer
+        words — every store-shaped base mechanism (make_store, sizing,
+        checkpointing) works unchanged on this width."""
+        return skm.store_words(self.k)
+
+    def tail_windows(self, r: int) -> int:
+        """Tail supersteps must stay TILE-aligned for the slot packer."""
+        step = max(self.rows, skm.TILE)
+        return min(-(-max(r, 1) // step) * step, self.superstep_windows)
+
+
+class SkmCounter(SortKmerCounter):
+    """Super-k-mer streaming counter (drop-in for SortKmerCounter)."""
+
+    def __init__(self, config: SkmCounterConfig):
+        super().__init__(config)
+        self._S = config.skm_slots
+        self._final_cache = None
+        self.stats["slot_grow_events"] = 0
+
+    # -- device steps --------------------------------------------------------
+
+    def _dispatch(self, packed_d, sep_d, n: int, dense: bool,
+                  wstart: int = 0, srow: int = 0):
+        cfg = self.cfg
+        prefix_in = self._sized_prefix(self._eff_for_dispatch(n))
+        mode = self._pallas_mode()       # auto -> Pallas compact on TPU
+        if mode not in ("on", "off", "interpret"):
+            mode = "off"                 # merge variants: classic-only
+        new_prefix, ndv = skm.skm_superstep(
+            packed_d, sep_d, prefix_in, wstart, srow,
+            k=cfg.k, n=n, S=self._S, dense=dense, pallas=mode)
+        self._inflight.append(
+            (new_prefix, ndv,
+             (packed_d, sep_d, n, dense, wstart, srow, prefix_in)))
+        self.prefix = new_prefix
+        self._final_cache = None
+
+    def _drain(self, keep: int = 0):
+        """Base drain plus the slot-overflow check: max_tile_runs > S
+        means the packer dropped run rows, so bump the S ladder and
+        replay this superstep and everything optimistically chained
+        after it (inputs stay live in the deque until verified)."""
+        while len(self._inflight) > keep:
+            new_prefix, nd_h, replay = self._inflight.popleft()
+            nd_exact, nd, maxruns = (int(x) for x in np.asarray(nd_h))
+            cap_used = replay[-1][0].shape[0]
+            if maxruns > self._S:
+                replays = [replay] + [r for (_, _, r) in self._inflight]
+                self._inflight.clear()
+                while self._S < maxruns:
+                    self._S = min(self._S * 2, skm.TILE)
+                self.stats["slot_grow_events"] += 1
+                self.prefix = replay[-1]   # pre-overflow prefix, still live
+                for packed_d, sep_d, n, dense, wstart, srow, _old in replays:
+                    self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
+                    self._drain(keep=0)
+                continue
+            if nd <= cap_used:
+                delta = nd_exact - self.n_distinct
+                if delta > 0:
+                    self._delta_max = max(self._delta_max or 0, delta)
+                self.n_distinct = nd_exact
+                self.n_used = nd
+                self.stats["compactions"] += 1
+                continue
+            # run-store capacity overflow: identical to the base path
+            import jax.numpy as jnp
+
+            from ..ops import sortcount
+
+            replays = [replay] + [r for (_, _, r) in self._inflight]
+            self._inflight.clear()
+            n_over = replay[2]
+            bound = min(cap_used + n_over, 2 * max(nd, cap_used))
+            new_eff = self._step_up(bound)
+            self._delta_max = max(self._delta_max or 0, new_eff - self.n_used)
+            if new_eff > self.cfg.prefix_cap:
+                self.cfg.prefix_cap = new_eff
+                self.stats["grow_events"] += 1
+            old_prefix = replay[-1]
+            pad = new_eff - old_prefix[0].shape[0]
+            self.prefix = tuple(
+                jnp.concatenate([col, sortcount.dead_fill((pad,), col.dtype)])
+                for col in old_prefix
+            )
+            for packed_d, sep_d, n, dense, wstart, srow, _old in replays:
+                self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
+                self._drain(keep=0)
+
+    # -- output --------------------------------------------------------------
+
+    def dump(self):
+        """Finalize: expand the distinct run store into canonical k-mer
+        keys + counts (cached until more input arrives).  Streaming may
+        continue afterwards — expansion reads the run store without
+        mutating it."""
+        self._flush()
+        self._merge()
+        tag = (self.stats["windows_processed"], self.n_used)
+        if self._final_cache is not None and self._final_cache[0] == tag:
+            return self._final_cache[1]
+        run_keys, run_cnt = self._dump_device()   # (N, store_words), int64
+        cols = tuple(np.ascontiguousarray(run_keys[:, i])
+                     for i in range(run_keys.shape[1]))
+        cols = cols + (run_cnt.astype(np.int32),)
+        out = skm.finalize_counts(cols, self.cfg.k)
+        self._final_cache = (tag, out)
+        return out
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str, config: "SkmCounterConfig | None" = None):
+        z = np.load(path)
+        if config is None:
+            config = SkmCounterConfig(
+                k=int(z["k"]), mode=int(z["mode"]),
+                min_abundance=int(z["min_abundance"]))
+        return super().load(path, config)

@@ -514,7 +514,8 @@ class SortKmerCounter:
         if isinstance(kmers, str):
             kmers = [kmers]
         tk, cn = self.dump()
-        w = self.cfg.words
+        w = codec.words_per_kmer(self.cfg.k)   # k-mer words (dump format),
+        # NOT cfg.words: subclasses may keep a differently-shaped store
         packed = np.zeros((len(kmers), w), np.uint32)
         ok = np.ones(len(kmers), bool)
         for i, s in enumerate(kmers):

@@ -1,1 +1,1 @@
-from . import hashing, windows, table, bloom, sortcount, pallas_windows  # noqa: F401
+from . import hashing, windows, table, bloom, sortcount, skm  # noqa: F401

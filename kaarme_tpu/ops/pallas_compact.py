@@ -47,6 +47,8 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils.mathutils import next_pow2
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,14 +58,15 @@ _BLOCK_ROWS = 256
 
 
 def _pow2(x: int) -> int:
-    """Next power of two >= x.  Interleaved (rows, planes, 128) DMA
+    """utils.mathutils.next_pow2, re-exported with the DMA-constraint
+    rationale: interleaved (rows, planes, 128) DMA
     slabs MUST have a power-of-two plane count: measured on the target
     toolchain, a VMEM<->ANY async copy of a 3D buffer with plane count
     in {3, 5, 6} hard-faults the TPU runtime ({1, 2, 4, 8} work), and
     the 2D lane-major alternative is rejected at compile time because
     dynamic row offsets can't be proven 8-aligned.  Dummy planes carry
     sentinel fill and are ignored by the de-interleave."""
-    return 1 << (x - 1).bit_length()
+    return next_pow2(x)
 
 
 def block_elems(block_rows: int = _BLOCK_ROWS) -> int:

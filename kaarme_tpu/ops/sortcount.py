@@ -482,37 +482,6 @@ def compact(store):
 # Jitted entry points
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k", "n", "rows"))
-def count_step(packed, maskwords, *, k: int, n: int, rows: int):
-    """Fused device step: unpack -> canonical window keys (unsorted run).
-
-    Runs stay as separate device arrays (the "store" is a list of runs
-    plus a compacted prefix) and meet only inside ``merge_compact``:
-    appending via dynamic-update-slice into one big buffer costs a
-    relayout per batch AND multiplies XLA compile time, so it was
-    dropped; per-batch sorting was dropped too (the merge re-sorts).
-    """
-    return window_keys(packed, maskwords, k, n, rows)
-
-
-@partial(jax.jit, static_argnames=("k", "n", "rows", "nwords", "mwords"))
-def count_step_at(packed, maskwords, start, *, k: int, n: int, rows: int,
-                  nwords: int, mwords: int):
-    """``count_step`` over a slice of a device-resident packed
-    superbatch.
-
-    The host->device link has ~0.5 s fixed latency per transfer
-    (measured), so the model transfers one large packed superbatch and
-    the per-batch work slices it on device.  ``start`` is the batch's
-    first window position (a multiple of 32, so both the code-word and
-    mask-word offsets are exact); nwords/mwords are the static slice
-    lengths covering n + k - 1 codes.
-    """
-    p = jax.lax.dynamic_slice(packed, (start // 16,), (nwords,))
-    m = jax.lax.dynamic_slice(maskwords, (start // 32,), (mwords,))
-    return window_keys(p, m, k, n, rows)
-
-
 def embed_bits(k: int) -> int:
     """Free low bits in the (left-aligned) trailing key word."""
     r = k % 16
@@ -906,75 +875,6 @@ def _compact_embedded(cols, ebits: int):
     out_last = (out[-1] & ~cmask) | (jnp.uint32(0) - d2)
     n_distinct = jnp.sum(alive2)
     return tuple(out[:-1]) + (out_last, out_cnt), n_distinct
-
-
-@partial(jax.jit, static_argnames=("ebits",), donate_argnums=(0, 1))
-def merge_compact_embedded(prefix, runs, *, ebits: int):
-    """merge_compact with counts embedded in the trailing key word
-    (see _compact_embedded; model layer gates eligibility by k and the
-    total merge mass)."""
-    w = len(prefix) - 1
-    cols = [
-        jnp.concatenate([prefix[i]] + [r[i] for r in runs]) for i in range(w - 1)
-    ]
-    last = jnp.concatenate(
-        [prefix[w - 1] | prefix[-1].astype(jnp.uint32)]
-        + [r[w - 1] | jnp.uint32(1) for r in runs]
-    )
-    return _compact_embedded(cols + [last], ebits)
-
-
-@partial(jax.jit, static_argnames=("ebits",), donate_argnums=(0,))
-def merge_runs_only_embedded(runs, *, ebits: int):
-    """merge_runs_only with embedded unit counts."""
-    w = len(runs[0])
-    cols = [jnp.concatenate([r[i] for r in runs]) for i in range(w - 1)]
-    last = jnp.concatenate([r[w - 1] | jnp.uint32(1) for r in runs])
-    return _compact_embedded(cols + [last], ebits)
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def merge_runs_only(runs):
-    """Compact a list of raw key runs with no pre-existing prefix.
-
-    Cheaper than ``merge_compact`` when the distinct store is still
-    empty (every count is an in-batch segment length, so the sort needs
-    no count payload: arity W instead of W+1, and no dead prefix rows).
-    Returns (store columns, n_distinct) like ``merge_compact``.
-    """
-    w = len(runs[0])
-    cols = [jnp.concatenate([r[i] for r in runs]) for i in range(w)]
-    cols = _B(tuple(cols))
-    s = jax.lax.sort(cols, num_keys=w)
-    s = _B(s)
-    s_keys = list(s)
-    seg = _boundary_counts(s_keys)
-    dead = (jnp.uint32(1) - jnp.minimum(seg, 1).astype(jnp.uint32))
-    order2 = (dead,) + tuple(s_keys) + (seg,)
-    s2 = jax.lax.sort(order2, num_keys=1, is_stable=True)
-    s2 = _B(s2)
-    out_keys, out_cnt = list(s2[1:-1]), s2[-1]
-    n_distinct = jnp.sum(jnp.minimum(out_cnt, 1))
-    return tuple(out_keys) + (out_cnt,), n_distinct
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def merge_compact(prefix, runs):
-    """Concatenate the compacted prefix columns with a list of raw key
-    runs (implicit count 1 each) and compact the union.  Returns
-    (store columns, n_distinct); the distinct records form a sorted
-    prefix of the output columns.
-
-    prefix: tuple of W uint32 cols + int32 cnt col (dead rows sentinel
-    or zero-key with cnt 0).  runs: list of key tuples (W cols each).
-    """
-    w = len(prefix) - 1
-    cols = [
-        jnp.concatenate([prefix[i]] + [r[i] for r in runs]) for i in range(w)
-    ]
-    nrun = sum(r[0].shape[0] for r in runs)
-    cnt = jnp.concatenate([prefix[-1], jnp.ones((nrun,), jnp.int32)])
-    return compact(tuple(cols) + (cnt,))
 
 
 def lookup_sorted(keys_np: np.ndarray, cnt_np: np.ndarray, queries: np.ndarray):

@@ -36,14 +36,19 @@ def main():
     eb = 22
 
     def case_merge256():
-        akeys = np.unique(rng.integers(0, 90000, 30000).astype(np.uint64))
+        # keys must fit the 32 - eb key bits of a single-word embedded
+        # row: with eb = 22 that is 10 bits (an unbounded 90000 range
+        # overflowed the shift, aliasing keys and violating the
+        # sorted-input precondition — round-2 ADVICE item)
+        akeys = np.unique(rng.integers(0, 1 << (32 - eb), 30000)
+                          .astype(np.uint64))
         acnt = rng.integers(1, 1000, akeys.shape[0]).astype(np.uint64)
         Na = ((akeys.shape[0] + 127) // 128) * 128
         a0 = np.concatenate([
             (akeys << np.uint64(eb) | acnt).astype(np.uint32),
             np.full(Na - akeys.shape[0], SENT, np.uint32)])
         nb = 200000
-        bkeys = np.sort(rng.integers(0, 90000, nb).astype(np.uint64))
+        bkeys = np.sort(rng.integers(0, 1 << (32 - eb), nb).astype(np.uint64))
         Nb = ((nb + 127) // 128) * 128
         b0 = np.concatenate([
             np.full(Nb - nb, SENT, np.uint32),
@@ -95,7 +100,7 @@ def main():
         # batch, block_rows=256 -> nblocks=1
         a0 = np.full(8192, SENT, np.uint32)
         nb = 4096
-        bkeys = np.sort(rng.integers(0, 90000, nb).astype(np.uint64))
+        bkeys = np.sort(rng.integers(0, 1 << (32 - eb), nb).astype(np.uint64))
         b0 = (bkeys << np.uint64(eb) | np.uint64(1)).astype(np.uint32)[::-1]
         got = pm.merge_compact_dense(
             (jnp.asarray(a0),), (jnp.asarray(b0),),

@@ -152,8 +152,10 @@ def test_bloom_mode(fasta, tmp_path):
 
 
 _FORMAT_CASES = {
-    # sequence wrapped across lines (newline = factory reset in the
-    # reference's FASTA parser — windows never span wrapped lines)
+    # sequence wrapped across lines (the reference's FASTA parser SKIPS
+    # newlines inside sequence — "If the next character is newline, skip
+    # it", reference include/parallel_parser.hpp — so windows DO span
+    # wrapped lines; our codec matches, and this case pins it)
     "wrapped": b">r1\nACGTACGTACGTACGTACGT\nACGTACGTACGTACGTACGT\n"
                b"TTTTGGGGCCCCAAAA\n>r2\nGGGCACGTACGTACGTACGTGGGTTTACG\n",
     # lowercase bases are non-ACGT to the reference (char2int -> reset)
