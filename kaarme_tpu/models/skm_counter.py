@@ -145,11 +145,15 @@ class SkmCounter(SortKmerCounter):
         tag = (self.stats["windows_processed"], self.n_used)
         if self._final_cache is not None and self._final_cache[0] == tag:
             return self._final_cache[1]
-        run_keys, run_cnt = self._dump_device()   # (N, store_words), int64
-        cols = tuple(np.ascontiguousarray(run_keys[:, i])
-                     for i in range(run_keys.shape[1]))
-        cols = cols + (run_cnt.astype(np.int32),)
-        out = skm.finalize_counts(cols, self.cfg.k)
+        # device-resident: slice the live region to a ladder size
+        # (bounded compile variants; rows past n_used are sentinels with
+        # count 0 and drop at expansion) — no host round-trip
+        from ..ops import sortcount
+
+        m = min(sortcount.next_store_size(max(self.n_used, 1)),
+                self.prefix[0].shape[0])
+        run_cols = tuple(c[:m] for c in self.prefix)
+        out = skm.finalize_counts(run_cols, self.cfg.k)
         self._final_cache = (tag, out)
         return out
 

@@ -417,52 +417,71 @@ def expand_chunk(run_cols, *, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _merge_expanded(acc, run_chunk, *, k: int):
-    """acc store (cap rows) + one expanded chunk -> (new acc sliced to
-    cap, n_distinct).  The general compact: window counts sum MULTIPLE
-    non-unit run counts, so the embedded single-non-unit trick does not
-    apply at this stage."""
-    rows = expand_chunk(run_chunk, k=k)
+def _expand_compact(run_cols, *, k: int):
+    """Single-shot finalize: expand every run row and segment-reduce.
+    The general compact: window counts sum MULTIPLE non-unit run
+    counts, so the embedded single-non-unit trick does not apply at
+    this stage."""
+    return sortcount.compact(expand_chunk(run_cols, k=k))
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int):
+    """Chunked finalize step: expand ``chunk`` run rows at a traced
+    offset of the DEVICE-resident store and merge into acc (one compile
+    per (cap, chunk) — the offset is dynamic)."""
+    part = tuple(jax.lax.dynamic_slice(c, (start,), (chunk,))
+                 for c in run_cols)
+    rows = expand_chunk(part, k=k)
     cap = acc[0].shape[0]
     cols = tuple(jnp.concatenate([a, r]) for a, r in zip(acc, rows))
     store, nd = sortcount.compact(cols)
     return tuple(c[:cap] for c in store), nd
 
 
-def finalize_counts(run_store_np, k: int, chunk_rows: int = 1 << 21):
-    """Host-driven finalize: expand the distinct run store (NumPy
-    columns: Wc content + meta-key + count) chunk by chunk into a
-    fixed-capacity device key store, growing on overflow (the pre-merge
-    acc stays live — compact does not donate — so an overflowing chunk
-    simply re-merges at the next ladder size).  Returns the standard
-    (keys (N, W) uint32 sorted, counts int64)."""
+def finalize_counts(run_store, k: int, chunk_rows: int = 1 << 20,
+                    single_shot_rows: int = 1 << 24):
+    """Expand the distinct run store (device or NumPy columns:
+    Wc content + meta-key + count) into the standard (keys (N, W)
+    uint32 sorted, counts int64).
+
+    Stores whose expansion fits ``single_shot_rows`` go through ONE
+    expand + compact (no accumulator, no growth).  Larger stores loop
+    device-side dynamic-slice chunks into a fixed-capacity accumulator,
+    growing on overflow (the pre-merge acc stays live — compact does
+    not donate — so an overflowing chunk simply re-merges bigger).
+    Everything stays on device; only the final result lands on host.
+    """
     W = words_per_kmer(k)
-    R = run_store_np[0].shape[0]
+    R = int(run_store[0].shape[0])
     if R == 0:
         return np.zeros((0, W), np.uint32), np.zeros((0,), np.int64)
-    cap = sortcount.next_store_size(min(R * LMAX, chunk_rows * LMAX))
+    run_cols = tuple(jnp.asarray(c) for c in run_store)
+
+    if R * LMAX <= single_shot_rows:
+        store, nd_h = _expand_compact(run_cols, k=k)
+        nd = int(nd_h)
+        keys = np.stack([np.asarray(c[:nd]) for c in store[:-1]], axis=1)
+        cnt = np.asarray(store[-1][:nd]).astype(np.int64)
+        live = cnt > 0
+        return keys[live], cnt[live]
+
+    # chunked path: pad the store to chunk granularity with sentinel
+    # rows (count 0 -> dropped at expansion), then dynamic-slice chunks
+    pad = (-R) % chunk_rows
+    if pad:
+        run_cols = tuple(
+            jnp.concatenate([c, jnp.zeros((pad,), c.dtype)
+                             if i == len(run_cols) - 1 else
+                             jnp.full((pad,), SENTINEL, c.dtype)])
+            for i, c in enumerate(run_cols))
+    cap = sortcount.next_store_size(4 * chunk_rows)
     acc = sortcount.make_store(cap, W)
     nd = 0
     for s0 in range(0, R, chunk_rows):
-        rows = min(chunk_rows, R - s0)
-        # pad to a power-of-4 ladder: every distinct chunk length is a
-        # fresh ~100 s XLA sort compile, so bound the variants (padding
-        # rows are sentinels — expand drops them)
-        padded = 1 << 15
-        while padded < rows:
-            padded *= 4
-        pad = min(padded, chunk_rows) - rows
-        chunk = []
-        for i, c in enumerate(run_store_np):
-            part = np.ascontiguousarray(c[s0: s0 + rows])
-            if pad:
-                fill = np.zeros(pad, part.dtype) if i == len(run_store_np) - 1 \
-                    else np.full(pad, 0xFFFFFFFF, part.dtype)
-                part = np.concatenate([part, fill])
-            chunk.append(jnp.asarray(part))
-        chunk = tuple(chunk)
         while True:
-            new_acc, nd_h = _merge_expanded(acc, chunk, k=k)
+            new_acc, nd_h = _expand_merge_at(acc, run_cols, s0,
+                                             k=k, chunk=chunk_rows)
             nd = int(nd_h)
             if nd <= acc[0].shape[0]:
                 acc = new_acc
