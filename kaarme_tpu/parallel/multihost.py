@@ -103,6 +103,46 @@ def _find_line_start(f, pos: int, block: int = 1 << 16) -> int:
     return 0
 
 
+def _find_fastq_record_start(f, pos: int, size: int,
+                             block: int = 1 << 20) -> int:
+    """Byte offset of the first FASTQ record start at or after pos.
+
+    A line is a record start iff it begins with '@' and the line two
+    below begins with '+' (4-line FASTQ).  The '@' byte also occurs in
+    quality strings, but a quality line q has q+1 = header and
+    q+2 = sequence, and sequences never begin with '+', so the test
+    cannot fire on a quality line.
+    """
+    if pos == 0:
+        return 0
+    start = _find_line_start(f, pos)
+    f.seek(start)
+    buf = b""
+    base = start
+    while True:
+        more = f.read(block)
+        if more:
+            buf += more
+        # line offsets within buf (buf always starts at a line start)
+        offs = [0]
+        j = buf.find(b"\n")
+        while j >= 0:
+            offs.append(j + 1)
+            j = buf.find(b"\n", j + 1)
+        # need candidate line i plus line i+2 to be COMPLETE in buf
+        for i in range(len(offs) - 3):
+            if buf[offs[i]: offs[i] + 1] == b"@" and \
+                    buf[offs[i + 2]: offs[i + 2] + 1] == b"+":
+                return base + offs[i]
+        if not more:
+            return size
+        # drop fully-scanned lines, keep the last 3 partial candidates
+        if len(offs) > 3:
+            cut = offs[-3]
+            base += cut
+            buf = buf[cut:]
+
+
 class HostSpanReader:
     """Encoded code chunks for ONE host's byte span of a shared input.
 
@@ -134,16 +174,22 @@ class HostSpanReader:
         if gzipped:
             raise ValueError(
                 "multi-host gzip input is not supported (gzip has no random "
-                "access): decompress first or pre-split into per-host files")
-        if fmt == "fastq":
-            raise ValueError("multi-host FASTQ is not supported yet; "
-                             "pre-split into per-host files")
+                "access): run kaarme_tpu.parallel.multihost --presplit to "
+                "produce per-host record-aligned parts, or decompress first")
         self.path, self.fmt, self.k = path, fmt, k
         self.chunk_bytes = int(chunk_bytes)
         size = os.path.getsize(path)
         self.begin = host_id * size // num_hosts
         self.end = (host_id + 1) * size // num_hosts
         self.size = size
+        if fmt == "fastq":
+            # record-aligned ownership: host h owns the records STARTING
+            # in its byte span; records are window-isolated (the encoder
+            # separates them), so no cross-host halo is needed
+            with open(path, "rb") as f:
+                self.begin = _find_fastq_record_start(f, self.begin, size)
+                self.end = _find_fastq_record_start(f, self.end, size) \
+                    if self.end < size else size
 
     def _encode(self, buf: bytes, in_header: bool):
         if self.fmt == "fasta":
@@ -151,6 +197,9 @@ class HostSpanReader:
         return fastio.encode_plain(buf), False
 
     def __iter__(self):
+        if self.fmt == "fastq":
+            yield from self._iter_fastq()
+            return
         with open(self.path, "rb") as f:
             in_header = False
             if self.fmt == "fasta" and self.begin > 0:
@@ -194,6 +243,78 @@ class HostSpanReader:
                 need -= take.shape[0]
             if halo:
                 yield np.concatenate(halo)
+
+    def _iter_fastq(self):
+        """Record-aligned FASTQ span: encode [begin, end) with the
+        stateful FASTQ machine; the span is record-complete by
+        construction (ends exactly at the next host's first record)."""
+        from ..utils import codec as _codec
+
+        state = _codec.FASTQ_STATE0
+        with open(self.path, "rb") as f:
+            f.seek(self.begin)
+            remaining = self.end - self.begin
+            while remaining > 0:
+                buf = f.read(min(self.chunk_bytes, remaining))
+                if not buf:
+                    break
+                remaining -= len(buf)
+                codes, state = fastio.encode_fastq(buf, state)
+                if codes.shape[0]:
+                    yield codes
+
+
+def presplit(path: str, num_hosts: int, out_prefix: str,
+             block_records: int = 4096) -> list:
+    """Pre-split a (possibly gzipped) FASTA/FASTQ/plain input into
+    ``num_hosts`` record-aligned part files for multi-host runs where
+    byte-span ownership cannot work (gzip has no random access).
+
+    Single streaming pass: records are dealt to parts in round-robin
+    blocks of ``block_records``, which balances part sizes without
+    knowing the uncompressed size up front.  Records are independent
+    for counting (every record boundary is a window separator), so the
+    reordering cannot change any count.  Returns the part paths.
+    """
+    import gzip
+
+    fmt, gzipped = io_reader.sniff_format(path)
+    opener = gzip.open if gzipped else open
+    paths = [f"{out_prefix}.host{h}" for h in range(num_hosts)]
+    outs = [open(p, "wb") for p in paths]
+    try:
+        with opener(path, "rb") as f:
+            h = 0
+            nrec = 0
+            if fmt == "fastq":
+                while True:
+                    rec = [f.readline() for _ in range(4)]
+                    if not rec[0]:
+                        break
+                    outs[h].writelines(rec)
+                    nrec += 1
+                    if nrec % block_records == 0:
+                        h = (h + 1) % num_hosts
+            elif fmt == "fasta":
+                cur = None
+                for line in f:
+                    if line.startswith(b">"):
+                        nrec += 1
+                        if nrec % block_records == 1 and nrec > 1:
+                            h = (h + 1) % num_hosts
+                        cur = h
+                    if cur is not None:
+                        outs[cur].write(line)
+            else:
+                for line in f:
+                    outs[h].write(line)
+                    nrec += 1
+                    if nrec % block_records == 0:
+                        h = (h + 1) % num_hosts
+    finally:
+        for o in outs:
+            o.close()
+    return paths
 
 
 def host_span_codes(path: str, host_id: int, num_hosts: int, k: int, **kw):
@@ -407,17 +528,28 @@ def MultiHostSortCounter(config, mesh=None):
     return _MultiHostSortCounter(config, mesh)
 
 
-def merge_parts(out_path: str, num_parts: int):
-    """Concatenate + sort per-host part files into one output file
-    (partitions are disjoint, so this is a pure merge)."""
-    lines = []
-    for h in range(num_parts):
-        with open(f"{out_path}.part{h}", "rb") as f:
-            lines.extend(f.read().splitlines())
-    lines.sort()
-    with open(out_path, "wb") as f:
-        f.write(b"\n".join(lines) + (b"\n" if lines else b""))
-    return len(lines)
+def merge_parts(out_path: str, num_parts: int,
+                buf_bytes: int = 1 << 22) -> int:
+    """STREAMING merge of per-host part files into one output file.
+
+    Each part is written in sorted key order (dump_local sorts, and
+    big-endian 2-bit packing makes key order == ACGT string order) and
+    partitions are disjoint, so a heap k-way merge holds only one
+    buffered line per part — chr20-scale parts never land in RAM at
+    once (the old implementation loaded and sorted all lines)."""
+    import heapq
+    from contextlib import ExitStack
+
+    n = 0
+    with ExitStack() as stack:
+        files = [stack.enter_context(
+            open(f"{out_path}.part{h}", "rb", buffering=buf_bytes))
+            for h in range(num_parts)]
+        out = stack.enter_context(open(out_path, "wb", buffering=buf_bytes))
+        for line in heapq.merge(*files):
+            out.write(line)
+            n += 1
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +576,15 @@ def main(argv=None) -> int:
     ap.add_argument("--merge-parts", action="store_true",
                     help="after counting, process 0 merges all part files "
                          "(requires a shared filesystem)")
+    ap.add_argument("--presplit", type=int, default=0, metavar="H",
+                    help="do not count: split INPUT (gzip ok) into H "
+                         "record-aligned part files next to -o and exit")
     args = ap.parse_args(argv)
+
+    if args.presplit:
+        paths = presplit(args.INPUT, args.presplit, args.output_file)
+        print("\n".join(paths))
+        return 0
 
     if args.platform == "cpu":
         # pin BEFORE backend init: the axon plugin's sitecustomize

@@ -79,7 +79,7 @@ def test_host_span_plain_and_tiny_spans(tmp_path):
         assert _counts_sum(parts) == full, H
 
 
-def test_host_span_rejects_gzip_and_fastq(tmp_path):
+def test_host_span_rejects_gzip(tmp_path):
     import gzip
 
     gz = str(tmp_path / "x.fasta.gz")
@@ -87,11 +87,73 @@ def test_host_span_rejects_gzip_and_fastq(tmp_path):
         f.write(b">r\nACGT\n")
     with pytest.raises(ValueError):
         HostSpanReader(gz, 0, 2, 5)
-    fq = str(tmp_path / "x.fastq")
-    with open(fq, "wb") as f:
-        f.write(b"@r\nACGT\n+\nIIII\n")
-    with pytest.raises(ValueError):
-        HostSpanReader(fq, 0, 2, 5)
+
+
+def _random_fastq(tmp_path, seed=1, n_reads=240, read_len=80):
+    rng = np.random.default_rng(seed)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    path = str(tmp_path / "mh.fastq")
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            read = lut[rng.integers(0, 4, size=read_len)].tobytes()
+            # quality lines that start with '@' and '+' stress the
+            # record-start detector
+            q = bytes([int(rng.integers(33, 74)) for _ in range(read_len)])
+            q = (b"@" if i % 3 == 0 else b"+" if i % 3 == 1 else q[:1]) + q[1:]
+            f.write(b"@read%d desc\n" % i + read + b"\n+\n" + q + b"\n")
+    return path
+
+
+@pytest.mark.parametrize("num_hosts", [2, 3, 5])
+def test_host_span_fastq_union_is_exact(tmp_path, num_hosts):
+    """Record-aligned FASTQ ownership: per-host unions match the
+    single-host multiset exactly, '@'/'+'-leading qualities included."""
+    path = _random_fastq(tmp_path, seed=num_hosts)
+    k = 31
+    full = codec.golden_count(
+        codec.encode_fastq(open(path, "rb").read())[0], k)
+    parts = []
+    for h in range(num_hosts):
+        codes = host_span_codes(path, h, num_hosts, k)
+        parts.append(codec.golden_count(codes, k) if codes.size else {})
+    assert _counts_sum(parts) == full
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_presplit_round_robin(tmp_path, gz):
+    from kaarme_tpu.parallel.multihost import presplit
+
+    path = _random_fastq(tmp_path, seed=7)
+    if gz:
+        import gzip
+        import shutil
+
+        gzp = path + ".gz"
+        with open(path, "rb") as fi, gzip.open(gzp, "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+        src = gzp
+    else:
+        src = path
+    k = 31
+    full = codec.golden_count(
+        codec.encode_fastq(open(path, "rb").read())[0], k)
+    parts = presplit(src, 3, str(tmp_path / "pp"), block_records=16)
+    got = []
+    for p in parts:
+        codes, _ = codec.encode_fastq(open(p, "rb").read())
+        got.append(codec.golden_count(codes, k))
+    assert _counts_sum(got) == full
+
+
+def test_merge_parts_streaming(tmp_path):
+    out = str(tmp_path / "m.out")
+    data = [[b"AAAC 3\n", b"CCGT 1\n"], [b"ACGT 2\n"], []]
+    for h, lines in enumerate(data):
+        with open(f"{out}.part{h}", "wb") as f:
+            f.writelines(lines)
+    n = merge_parts(out, 3)
+    assert n == 3
+    assert open(out, "rb").read() == b"AAAC 3\nACGT 2\nCCGT 1\n"
 
 
 _WORKER = r"""
