@@ -96,6 +96,8 @@ def run_verify(args):
         results[f"golden_equality_k{k}"] = (
             f"PASS ({len(golden)} distinct)" if ok else
             f"FAIL (got {len(got)} vs {len(golden)} distinct)")
+        print(f"# verify classic k={k}: {results[f'golden_equality_k{k}']}",
+              file=sys.stderr, flush=True)
 
     # 3) the linear-merge superstep compiled on-chip (sort batch only +
     # streaming merge-compact kernel — ops/pallas_merge.py)
@@ -109,6 +111,8 @@ def run_verify(args):
     all_ok = all_ok and ok
     results["golden_equality_merge_kernel"] = (
         f"PASS ({len(golden)} distinct)" if ok else "FAIL")
+    print(f"# verify merge kernel: {results['golden_equality_merge_kernel']}",
+          file=sys.stderr, flush=True)
 
     # 4) packed window-key extraction (direct shift-or from the packed
     # words) composed with each superstep family
@@ -122,6 +126,31 @@ def run_verify(args):
         all_ok = all_ok and ok
         results[f"golden_equality_packed_{compactor}"] = (
             "PASS" if ok else "FAIL")
+        print(f"# verify packed {compactor}: "
+              f"{results[f'golden_equality_packed_{compactor}']}",
+              file=sys.stderr, flush=True)
+
+    # 5) the super-k-mer (minimizer-run) pipeline compiled on-chip
+    # (ops/skm.py): streaming run-store supersteps (Pallas compact at
+    # ebits=26) + the compiled finalize expansion.  The XLA-only tail is
+    # covered by the CPU suite (tests/test_skm.py) — on-chip budget goes
+    # to the compiled path.
+    from kaarme_tpu.models.skm_counter import SkmCounter, SkmCounterConfig
+
+    for k in (51, 31):
+        codes = make_reads(0.15, 8, 150, seed=3)
+        golden = codec.golden_count(codes, k)
+        cfg = SkmCounterConfig(
+            k=k, batch_windows=1 << 17, rows=1 << 9,
+            superbatch_batches=2, prefix_cap=1 << 18, min_abundance=1)
+        c = SkmCounter(cfg).count_codes(codes)
+        ok = c.as_dict() == golden
+        all_ok = all_ok and ok
+        results[f"golden_equality_skm_k{k}"] = (
+            f"PASS ({len(golden)} distinct)" if ok else
+            f"FAIL (got {len(c.as_dict())} vs {len(golden)} distinct)")
+        print(f"# verify skm k={k}: {results[f'golden_equality_skm_k{k}']}",
+              file=sys.stderr, flush=True)
     results["verdict"] = "PASS" if all_ok else "FAIL"
     print(json.dumps(results))
     return 0 if all_ok else 1

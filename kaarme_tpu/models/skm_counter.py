@@ -40,6 +40,13 @@ class SkmCounterConfig(SortCounterConfig):
         if self.batch_windows % skm.TILE:
             raise ValueError(
                 f"batch_windows must be a multiple of {skm.TILE}")
+        if max(self.rows, skm.TILE) % skm.TILE:
+            # tail_windows() aligns tails to max(rows, TILE); pack_slots'
+            # reshape(n // TILE, TILE) needs that to stay TILE-aligned.
+            # (Unreachable while the base class forces power-of-two rows
+            # — kept as the explicit invariant.)
+            raise ValueError(f"rows > {skm.TILE} must be a multiple "
+                             f"of {skm.TILE}")
 
     @property
     def words(self) -> int:

@@ -421,8 +421,10 @@ def _expand_compact(run_cols, *, k: int):
     """Single-shot finalize: expand every run row and segment-reduce.
     The general compact: window counts sum MULTIPLE non-unit run
     counts, so the embedded single-non-unit trick does not apply at
-    this stage."""
-    return sortcount.compact(expand_chunk(run_cols, k=k))
+    this stage.  clamped=True: one row per distinct run containing a
+    k-mer means rows-per-segment is unbounded — the clamped segmented
+    scan stays exact past 2^32 true segment mass (ADVICE r3)."""
+    return sortcount.compact(expand_chunk(run_cols, k=k), clamped=True)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk"))
@@ -435,7 +437,7 @@ def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int):
     rows = expand_chunk(part, k=k)
     cap = acc[0].shape[0]
     cols = tuple(jnp.concatenate([a, r]) for a, r in zip(acc, rows))
-    store, nd = sortcount.compact(cols)
+    store, nd = sortcount.compact(cols, clamped=True)
     return tuple(c[:cap] for c in store), nd
 
 

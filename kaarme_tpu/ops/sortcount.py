@@ -430,18 +430,29 @@ def dead_fill(shape, dtype):
     return jnp.full(shape, SENTINEL, jnp.uint32)
 
 
-def compact(store):
+def compact(store, clamped: bool = False):
     """Merge duplicate keys and pack distinct records into a sorted
     prefix.  Returns (store, n_distinct).
 
-    Segment sums run in WRAPPED uint32: the global cumsum may overflow
-    2^32, but each segment's true sum is < 2^32 (structural invariant:
-    every caller feeds at most a few clamped (< 2^21) rows per key plus
-    unit-count rows, and one merge holds < 2^30 rows), so the uint32
-    difference (csum_at_last - csum_before_first) is exact.  The
-    per-segment base comes from ONE gather at the segment start index
-    (the old monotone-cummax propagation required a nondecreasing csum,
-    which wrapping breaks).
+    Default path: segment sums run in WRAPPED uint32 — the global cumsum
+    may overflow 2^32, but each segment's true sum is < 2^32 (structural
+    invariant: every STREAMING caller feeds at most a few clamped
+    (< 2^21) rows per key plus unit-count rows, and one merge holds
+    < 2^30 rows), so the uint32 difference (csum_at_last -
+    csum_before_first) is exact.  The per-segment base comes from ONE
+    gather at the segment start index (the old monotone-cummax
+    propagation required a nondecreasing csum, which wrapping breaks).
+
+    ``clamped=True``: for callers that CANNOT bound rows-per-segment —
+    the skm finalize expansion feeds one clamped (< 2^21) row per
+    distinct run containing a k-mer, so a low-complexity k-mer at scale
+    can exceed 2^32 true mass and silently wrap.  The segment sum then
+    runs as a log-shift segmented inclusive scan with the modular clamp
+    applied at every step: clamp commutes with addition
+    (clamp(a+b) == clamp(clamp(a)+b) — both output contracts live in
+    the preserved mod-2^20 residue + the saturating >=2^20 indicator),
+    so intermediates stay < 2^22 and the final clamped total is exact
+    for ANY segment length.
     """
     *keys, cnt = store
 
@@ -455,16 +466,32 @@ def compact(store):
     s_cnt = _clamp_count(s_cnt)
 
     idx, first, last = _segment_marks(s_keys)
-
-    csum = jnp.cumsum(s_cnt.astype(jnp.uint32))      # wraps mod 2^32 — fine
-    csum = _B(csum)
     start = jax.lax.cummax(first * idx)
     start = _B(start)
-    # base = csum just before the segment start (0 for the first segment)
-    base = jnp.take(csum, jnp.maximum(start - 1, 0)) \
-        * jnp.minimum(start, 1).astype(jnp.uint32)
     alive = last * (1 - _is_sentinel_i32(s_keys))
-    seg = alive * _clamp_count(csum - base).astype(jnp.int32)
+
+    if clamped:
+        n = s_cnt.shape[0]
+        val = s_cnt.astype(jnp.uint32)
+        sh = 1
+        while sh < n:
+            prev = jnp.roll(val, sh)
+            pstart = jnp.roll(start, sh)
+            # row i-sh exists (i >= sh) and lies in the same segment
+            ok = jnp.minimum(jnp.maximum(idx - (sh - 1), 0), 1) \
+                * (1 - _nz(jax.lax.bitcast_convert_type(
+                    start ^ pstart, jnp.uint32)))
+            val = _clamp_count(val + ok.astype(jnp.uint32) * prev)
+            val = _B(val)
+            sh <<= 1
+        seg = alive * val.astype(jnp.int32)
+    else:
+        csum = jnp.cumsum(s_cnt.astype(jnp.uint32))  # wraps mod 2^32 — fine
+        csum = _B(csum)
+        # base = csum just before the segment start (0 for the first segment)
+        base = jnp.take(csum, jnp.maximum(start - 1, 0)) \
+            * jnp.minimum(start, 1).astype(jnp.uint32)
+        seg = alive * _clamp_count(csum - base).astype(jnp.int32)
 
     # pack alive records (seg > 0) to the front, preserving key order: a
     # STABLE sort on the 1-bit dead flag is a stable partition — much

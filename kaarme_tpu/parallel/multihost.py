@@ -291,6 +291,15 @@ def presplit(path: str, num_hosts: int, out_prefix: str,
                     rec = [f.readline() for _ in range(4)]
                     if not rec[0]:
                         break
+                    if not all(rec) or not rec[2].startswith(b"+"):
+                        # truncated/malformed tail record: writing a
+                        # partial 4-line record would corrupt the part
+                        import warnings
+
+                        warnings.warn(
+                            f"presplit: dropping truncated FASTQ tail "
+                            f"record in {path!r}")
+                        break
                     outs[h].writelines(rec)
                     nrec += 1
                     if nrec % block_records == 0:
@@ -299,9 +308,12 @@ def presplit(path: str, num_hosts: int, out_prefix: str,
                 cur = None
                 for line in f:
                     if line.startswith(b">"):
-                        nrec += 1
-                        if nrec % block_records == 1 and nrec > 1:
+                        # same post-increment rotation as the FASTQ/plain
+                        # branches (rotate when a block completes), so
+                        # block_records=1 deals one record per host
+                        if nrec and nrec % block_records == 0:
                             h = (h + 1) % num_hosts
+                        nrec += 1
                         cur = h
                     if cur is not None:
                         outs[cur].write(line)

@@ -297,3 +297,64 @@ def test_embedded_merge_prefix_plus_units():
     c = _counter(k, batch_windows=1 << 5, rows=1 << 2, merge_every=2)
     c.count_codes(codes)   # several merges: prefix-count + unit-run adds
     assert c.as_dict() == {"A" * k: 100}
+
+
+def test_compact_clamped_beyond_uint32_segment_mass():
+    """compact(clamped=True) stays exact when ONE segment's true mass
+    exceeds 2^32 (advisor r3: skm finalize feeds one clamped row per
+    distinct run containing a k-mer — rows per segment is unbounded).
+    4096 rows x 2^20 = exactly 2^32 true mass: the wrapped-cumsum
+    difference reads 0 (the wrap preserves mod 2^20, so the failure
+    regime is a wrapped sum landing <= 2^20 — here the key VANISHES);
+    the clamped segmented scan must stay exact."""
+    import jax.numpy as jnp
+
+    n = 8192
+    rows = 4096
+    per = 1 << 20
+    k0 = np.arange(n, dtype=np.uint32)
+    k0[:rows] = 42
+    k1 = np.full(n, 3, np.uint32)
+    cnt = np.full(n, 1, np.int32)
+    cnt[:rows] = per
+    store = (jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(cnt))
+    out, nd = sortcount.compact(store, clamped=True)
+    nd = int(nd)
+    assert nd == n - rows + 1
+    keys0 = np.asarray(out[0][:nd])
+    cnts = np.asarray(out[-1][:nd])
+    true_sum = rows * per
+    expect = (1 << 20) + (true_sum % (1 << 20))
+    assert cnts[keys0 == 42].tolist() == [expect]
+    # every singleton key keeps count 1 (scan must not leak across segments)
+    assert (cnts[keys0 != 42] == 1).all()
+    # and the default path provably corrupts here (documents the hazard):
+    # the wrapped segment sum reads 0, so the key is partitioned DEAD
+    out2, nd2 = sortcount.compact(store)
+    k2 = np.asarray(out2[0][: int(nd2)])
+    c2 = np.asarray(out2[-1][: int(nd2)])
+    assert 42 not in k2.tolist() or c2[k2 == 42].tolist() != [expect]
+
+
+def test_compact_clamped_matches_default_in_bounded_regime():
+    """Random bounded-mass stores: clamped and default compact agree."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    for trial in range(3):
+        n = 4096
+        k0 = rng.integers(0, 50, n).astype(np.uint32)
+        k1 = rng.integers(0, 3, n).astype(np.uint32)
+        cnt = rng.integers(1, 1000, n).astype(np.int32)
+        # sprinkle sentinels
+        sent = rng.random(n) < 0.1
+        k0[sent] = 0xFFFFFFFF
+        k1[sent] = 0xFFFFFFFF
+        cnt[sent] = 0
+        store = (jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(cnt))
+        a, nda = sortcount.compact(store)
+        b, ndb = sortcount.compact(store, clamped=True)
+        assert int(nda) == int(ndb)
+        nd = int(nda)
+        for ca, cb in zip(a, b):
+            assert np.array_equal(np.asarray(ca[:nd]), np.asarray(cb[:nd]))
