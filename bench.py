@@ -232,7 +232,11 @@ def main():
         t0 = time.perf_counter()
         c.count_codes(codes)
         if args.pipeline == "skm":
-            c.dump()           # include finalize expansion in skm timing
+            # include the finalize expansion (device-side, like the
+            # classic pipeline's end state: a device-resident sorted
+            # k-mer store; host OUTPUT transfer is excluded for both)
+            store, _nd = c.finalize_device()
+            drain(store)
         drain(c.prefix)
         dt = time.perf_counter() - t0
         return dt, c

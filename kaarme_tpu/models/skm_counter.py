@@ -142,11 +142,13 @@ class SkmCounter(SortKmerCounter):
 
     # -- output --------------------------------------------------------------
 
-    def dump(self):
-        """Finalize: expand the distinct run store into canonical k-mer
-        keys + counts (cached until more input arrives).  Streaming may
-        continue afterwards — expansion reads the run store without
-        mutating it."""
+    def finalize_device(self):
+        """Finalize ON DEVICE: expand the distinct run store into the
+        standard sorted k-mer store (W key cols + count col, device
+        arrays) + n_used, cached until more input arrives.  Streaming
+        may continue afterwards — expansion reads the run store without
+        mutating it.  This is the skm analogue of the classic
+        pipeline's end-of-stream state (no device->host transfer)."""
         self._flush()
         self._merge()
         tag = (self.stats["windows_processed"], self.n_used)
@@ -160,9 +162,23 @@ class SkmCounter(SortKmerCounter):
         m = min(sortcount.next_store_size(max(self.n_used, 1)),
                 self.prefix[0].shape[0])
         run_cols = tuple(c[:m] for c in self.prefix)
-        out = skm.finalize_counts(run_cols, self.cfg.k)
+        out = skm.finalize_store(run_cols, self.cfg.k)
         self._final_cache = (tag, out)
         return out
+
+    def dump(self):
+        """(keys (N, W) uint32 sorted, counts (N,) int64): the device
+        finalize + one host fetch (the fetch is the expensive half on
+        the tunnel — consumers that only need device state should use
+        finalize_device)."""
+        store, nd = self.finalize_device()
+        if nd == 0:
+            return (np.zeros((0, codec.words_per_kmer(self.cfg.k)),
+                             np.uint32), np.zeros((0,), np.int64))
+        keys = np.stack([np.asarray(c[:nd]) for c in store[:-1]], axis=1)
+        cnt = np.asarray(store[-1][:nd]).astype(np.int64)
+        live = cnt > 0
+        return keys[live], cnt[live]
 
     # -- checkpoint / resume --------------------------------------------------
 

@@ -441,32 +441,39 @@ def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int):
     return tuple(c[:cap] for c in store), nd
 
 
-def finalize_counts(run_store, k: int, chunk_rows: int = 1 << 20,
-                    single_shot_rows: int = 1 << 24):
-    """Expand the distinct run store (device or NumPy columns:
-    Wc content + meta-key + count) into the standard (keys (N, W)
-    uint32 sorted, counts int64).
+def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
+                   single_shot_rows: int = 1 << 24):
+    """DEVICE-side finalize: expand the distinct run store (device or
+    NumPy columns: Wc content + meta-key + count) and segment-reduce
+    into a sorted k-mer store ON DEVICE.  Returns (store columns —
+    W uint32 key cols + int32 count col, n_used); rows past n_used and
+    count-0 rows in between are sentinels/pads the caller must mask
+    (same contract as the streaming prefix).  Nothing lands on host —
+    measured on the tunnel, fetching an ecoli-scale expanded store costs
+    ~10x the finalize compute itself.
 
     Stores whose expansion fits ``single_shot_rows`` go through ONE
     expand + compact (no accumulator, no growth).  Larger stores loop
     device-side dynamic-slice chunks into a fixed-capacity accumulator,
     growing on overflow (the pre-merge acc stays live — compact does
     not donate — so an overflowing chunk simply re-merges bigger).
-    Everything stays on device; only the final result lands on host.
     """
     W = words_per_kmer(k)
     R = int(run_store[0].shape[0])
     if R == 0:
-        return np.zeros((0, W), np.uint32), np.zeros((0,), np.int64)
-    run_cols = tuple(jnp.asarray(c) for c in run_store)
+        return sortcount.make_store(0, W), 0
+    # coerce dtypes: NumPy callers easily arrive with int64/int32 key
+    # columns (np.stack of keys + an int32 count column promotes), and
+    # signed key words silently break the sort order and sentinel masks
+    run_cols = tuple(
+        jnp.asarray(np.asarray(c).astype(
+            np.int32 if i == len(run_store) - 1 else np.uint32))
+        if not hasattr(c, "devices") else c
+        for i, c in enumerate(run_store))
 
     if R * LMAX <= single_shot_rows:
         store, nd_h = _expand_compact(run_cols, k=k)
-        nd = int(nd_h)
-        keys = np.stack([np.asarray(c[:nd]) for c in store[:-1]], axis=1)
-        cnt = np.asarray(store[-1][:nd]).astype(np.int64)
-        live = cnt > 0
-        return keys[live], cnt[live]
+        return store, int(nd_h)
 
     # chunked path: pad the store to chunk granularity with sentinel
     # rows (count 0 -> dropped at expansion), then dynamic-slice chunks
@@ -493,8 +500,19 @@ def finalize_counts(run_store, k: int, chunk_rows: int = 1 << 20,
                 jnp.concatenate(
                     [c, sortcount.dead_fill((cap - c.shape[0],), c.dtype)])
                 for c in acc)
-    keys = np.stack([np.asarray(c[:nd]) for c in acc[:-1]], axis=1)
-    cnt = np.asarray(acc[-1][:nd]).astype(np.int64)
+    return acc, nd
+
+
+def finalize_counts(run_store, k: int, chunk_rows: int = 1 << 20,
+                    single_shot_rows: int = 1 << 24):
+    """Host-side finalize: ``finalize_store`` + one device->host fetch.
+    Returns (keys (N, W) uint32 sorted, counts (N,) int64)."""
+    store, nd = finalize_store(run_store, k, chunk_rows, single_shot_rows)
+    if nd == 0:
+        return (np.zeros((0, words_per_kmer(k)), np.uint32),
+                np.zeros((0,), np.int64))
+    keys = np.stack([np.asarray(c[:nd]) for c in store[:-1]], axis=1)
+    cnt = np.asarray(store[-1][:nd]).astype(np.int64)
     live = cnt > 0
     return keys[live], cnt[live]
 

@@ -521,10 +521,118 @@ def _make_multihost_cls():
                 "write_output_part() + merge_parts()")
 
         def save(self, path: str):
-            raise NotImplementedError(
-                "multi-host checkpointing is not supported: the store "
-                "is sharded across processes; write per-host parts via "
-                "write_output_part() instead")
+            """Per-process checkpoint part: snapshot THIS process's
+            addressable shards (pre-exchange partial counts, same
+            semantics as ShardedSortCounter.save — the same key may
+            hold partial counts on several shards/parts; the first
+            compaction after restore sums them) to ``path.part{pid}``.
+
+            COLLECTIVE DISCIPLINE: every process must call save at the
+            same round boundary (between count_codes/count_file calls,
+            before finalize).  Restore with ``load`` on any process
+            count — parts are dealt round-robin (requires the parts on
+            a filesystem every restoring process can read, like
+            merge_parts)."""
+            if self._exchanged:
+                raise RuntimeError("cannot checkpoint after finalize")
+            self._merge()
+            w = self.cfg.words
+            cols = []
+            for c in self.prefix:
+                shards = sorted(c.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                cols.append(np.concatenate(
+                    [np.asarray(jax.device_get(s.data)).reshape(-1)
+                     for s in shards]))
+            cnt = cols[-1]
+            alive = cnt > 0
+            keys = np.stack([c[alive] for c in cols[:w]], axis=1)
+            np.savez_compressed(
+                f"{path}.part{self.pid}", kind="multihost_sort",
+                k=self.cfg.k, mode=self.cfg.mode,
+                min_abundance=self.cfg.min_abundance,
+                keys=keys, counts=cnt[alive].astype(np.int64),
+                windows_processed=self.stats["windows_processed"],
+                num_parts=self.nproc)
+
+        @classmethod
+        def load(cls, path: str, config=None, mesh=None):
+            """Restore from per-process ``save`` parts onto the current
+            global mesh (any process count).  Every process must call
+            load; parts are assigned round-robin by process id, and the
+            per-device capacity is derived DETERMINISTICALLY from all
+            part sizes so every process builds identically-shaped
+            global arrays without a collective."""
+            from ..ops.sortcount import next_store_size
+            from .sharded_sort import ShardedSortConfig
+
+            z0 = np.load(f"{path}.part0.npz")
+            if "kind" not in z0.files or str(z0["kind"]) != "multihost_sort":
+                raise ValueError(f"{path}.part0.npz is not a multi-host "
+                                 "checkpoint")
+            num_parts = int(z0["num_parts"])
+            k = int(z0["k"])
+            if config is None:
+                config = ShardedSortConfig(
+                    k=k, mode=int(z0["mode"]),
+                    min_abundance=int(z0["min_abundance"]))
+            elif config.k != k:
+                raise ValueError(
+                    f"checkpoint is for k={k}, config has k={config.k}")
+            self = cls(config, mesh)
+            w = config.words
+            # row counts of every part (cheap: one array header decode
+            # each) -> the max per-process aggregate row need, computed
+            # identically on every process
+            rows_of = [int(np.load(f"{path}.part{h}.npz")["counts"].shape[0])
+                       for h in range(num_parts)]
+            need = max(sum(rows_of[p::self.nproc])
+                       for p in range(self.nproc)) or 1
+            per = -(-need // self.nloc)
+            while per > self.cfg.prefix_cap:
+                self.cfg.prefix_cap = next_store_size(self.cfg.prefix_cap + 1)
+            cap = self.cfg.prefix_cap
+
+            keys_l, cnt_l, wins = [], [], 0
+            for h in range(self.pid, num_parts, self.nproc):
+                z = np.load(f"{path}.part{h}.npz")
+                keys_l.append(z["keys"].astype(np.uint32))
+                cnt_l.append(z["counts"].astype(np.int64))
+                wins += int(z["windows_processed"])
+            keys = np.concatenate(keys_l) if keys_l else \
+                np.zeros((0, w), np.uint32)
+            cnt = np.concatenate(cnt_l) if cnt_l else np.zeros(0, np.int64)
+            # aggregate duplicates + sort (each shard prefix must be a
+            # sorted run with one record per key — see sharded load)
+            if keys.shape[0]:
+                order = np.lexsort(
+                    tuple(keys[:, i] for i in range(w - 1, -1, -1)))
+                keys, cnt = keys[order], cnt[order]
+                first = np.ones(keys.shape[0], bool)
+                first[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+                starts = np.flatnonzero(first)
+                cnt = np.add.reduceat(cnt, starts)
+                keys = keys[starts]
+            n = keys.shape[0]
+            per = -(-max(n, 1) // self.nloc)
+            big = 1 << 20
+            cc = np.where(cnt > big, big + (cnt & (big - 1)),
+                          cnt).astype(np.int32)
+            cols = []
+            for j in range(w):
+                col = np.full((self.nloc, cap), 0xFFFFFFFF, np.uint32)
+                for d in range(self.nloc):
+                    part = keys[d * per: (d + 1) * per, j]
+                    col[d, : part.shape[0]] = part
+                cols.append(self._put_local(col))
+            ccol = np.zeros((self.nloc, cap), np.int32)
+            for d in range(self.nloc):
+                part = cc[d * per: (d + 1) * per]
+                ccol[d, : part.shape[0]] = part
+            cols.append(self._put_local(ccol))
+            self.prefix = tuple(cols)
+            self.stats["windows_processed"] = wins
+            return self
 
     return MultiHostSortCounter
 
@@ -538,6 +646,15 @@ def MultiHostSortCounter(config, mesh=None):
     if _MultiHostSortCounter is None:
         _MultiHostSortCounter = _make_multihost_cls()
     return _MultiHostSortCounter(config, mesh)
+
+
+def multihost_load(path: str, config=None, mesh=None):
+    """Restore a multi-host counter from per-process ``save`` parts
+    (collective: every process calls this; see the class docstring)."""
+    global _MultiHostSortCounter
+    if _MultiHostSortCounter is None:
+        _MultiHostSortCounter = _make_multihost_cls()
+    return _MultiHostSortCounter.load(path, config, mesh)
 
 
 def merge_parts(out_path: str, num_parts: int,

@@ -66,7 +66,10 @@ def main():
             t0 = time.perf_counter()
             c.count_codes(codes)
             if finalize:
-                c.dump()
+                # device-side finalize (host output transfer excluded,
+                # matching the classic rows' device-resident end state)
+                store, _nd = c.finalize_device()
+                drain(store)
             drain(c.prefix)
             dt = time.perf_counter() - t0
             if rep:

@@ -108,12 +108,15 @@ def main():
                   f"({n/t/1e6:.0f} M w/s)  [compile+first {c:.1f}s] "
                   f"runs={nd} used={ndu} maxtile={mx}", flush=True)
 
-        # finalize at this store size (twice: compile+first vs warm)
-        keys_np = np.stack([np.asarray(col[:ndu]) for col in store], axis=1)
-        cnts = np.asarray(store[-1][:ndu]).astype(np.int64)
+        # finalize at this store size (twice: compile+first vs warm).
+        # NB: per-column extraction, NOT np.stack — stacking uint32 key
+        # columns with the int32 count column promotes to int64 and the
+        # round-trip back through jnp.asarray yields SIGNED key words
+        # (breaks sort order/sentinels; finalize_counts now also coerces)
+        cols_np = [np.asarray(col[:ndu]) for col in store]
+        cnts = cols_np[-1].astype(np.int64)
         live = cnts > 0
-        run_np = tuple(np.ascontiguousarray(keys_np[live][:, i])
-                       for i in range(keys_np.shape[1] - 1)) \
+        run_np = tuple(np.ascontiguousarray(c[live]) for c in cols_np[:-1]) \
             + (cnts[live].astype(np.int32),)
         for tag in ("first", "warm"):
             t0 = time.perf_counter()
@@ -121,6 +124,33 @@ def main():
             tf = time.perf_counter() - t0
             print(f"          finalize[{tag}]({int(live.sum())} runs -> "
                   f"{keys.shape[0]} kmers): {tf*1e3:6.0f}ms", flush=True)
+
+        # finalize phase isolation on the DEVICE-resident store (the
+        # production dump() path): expansion alone, then + compact
+        m = min(sortcount.next_store_size(max(ndu, 1)), store[0].shape[0])
+        run_dev = tuple(col[:m] for col in store)
+
+        @jax.jit
+        def expand_only(rc):
+            return skm.expand_chunk(rc, k=k)
+
+        t, c = timeit(expand_only, run_dev)
+        print(f"          expand_chunk[{m} rows]:  {t*1e3:6.0f}ms "
+              f"[compile+first {c:.1f}s]", flush=True)
+        for clamped in (False, True):
+            @jax.jit
+            def expand_compact(rc, clamped=clamped):
+                return sortcount.compact(skm.expand_chunk(rc, k=k),
+                                         clamped=clamped)
+
+            t, c = timeit(expand_compact, run_dev)
+            print(f"          + compact(clamped={clamped}): {t*1e3:6.0f}ms "
+                  f"[compile+first {c:.1f}s]", flush=True)
+        t0 = time.perf_counter()
+        keys, cnt = skm.finalize_counts(run_dev, k)
+        tf = time.perf_counter() - t0
+        print(f"          finalize[device store]({m} rows -> "
+              f"{keys.shape[0]} kmers): {tf*1e3:6.0f}ms", flush=True)
 
 
 if __name__ == "__main__":

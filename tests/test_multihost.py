@@ -51,6 +51,26 @@ def _counts_sum(dicts):
     return out
 
 
+import contextlib  # noqa: E402
+import tempfile  # noqa: E402
+
+
+@contextlib.contextmanager
+def _two_proc_lock():
+    """Serialize the 2-process coordination tests across xdist workers:
+    two concurrent pairs (8 JAX processes on a 4-core box) starve the
+    distributed shutdown barrier into DEADLINE_EXCEEDED flakes."""
+    import fcntl
+
+    path = os.path.join(tempfile.gettempdir(), "kaarme_mh_2proc.lock")
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+
+
 @pytest.mark.parametrize("num_hosts", [2, 3, 5])
 @pytest.mark.parametrize("k", [7, 31])
 def test_host_span_union_is_exact(tmp_path, num_hosts, k):
@@ -188,10 +208,12 @@ def test_two_process_end_to_end(tmp_path):
         f.write(_WORKER % {"repo": REPO, "fasta": path, "out": out,
                            "port": port})
     env = dict(os.environ)
-    procs = [subprocess.Popen([sys.executable, worker, str(pid)], env=env,
-                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-             for pid in range(2)]
-    outs = [p.communicate(timeout=600) for p in procs]
+    with _two_proc_lock():
+        procs = [subprocess.Popen([sys.executable, worker, str(pid)],
+                                  env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE)
+                 for pid in range(2)]
+        outs = [p.communicate(timeout=600) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-3000:]
 
@@ -202,6 +224,81 @@ def test_two_process_end_to_end(tmp_path):
         assert kk not in got          # partitions are disjoint
         got[kk] = int(v)
     assert total == len(got)
+    golden = codec.golden_count(
+        codec.encode_fasta(open(path, "rb").read())[0], 31)
+    assert got == golden
+
+
+_WORKER_CKPT = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from kaarme_tpu.parallel import multihost as mh
+pid = int(sys.argv[1])
+mh.init_distributed("localhost:%(port)d", 2, pid)
+from kaarme_tpu.parallel.sharded_sort import ShardedSortConfig
+mesh = mh.global_mesh("cpu")
+def cfg():
+    return ShardedSortConfig(k=31, min_abundance=1, batch_windows=1 << 12,
+                             rows=1 << 6, prefix_cap=1 << 13)
+def log(msg):
+    print(f"[pid {pid}] {msg}", flush=True)
+c = mh.MultiHostSortCounter(cfg(), mesh)
+codes = mh.host_span_codes(%(fasta)r, pid, 2, 31)
+# split at a separator so no window spans the two halves
+seps = np.flatnonzero(codes >= 4)
+cut = int(seps[len(seps) // 2]) + 1
+log("count half 1")
+c.count_codes(codes[:cut])
+log("save")
+c.save(%(ckpt)r)
+log("load")
+c2 = mh.multihost_load(%(ckpt)r, cfg(), mesh)
+assert c2.stats["windows_processed"] > 0
+log("count half 2")
+c2.count_codes(codes[cut:])
+log("write")
+c2.write_output_part(%(out)r)
+log("done")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host save/load: each process snapshots its shards to a
+    part file mid-run; fresh counters restore round-robin and finish.
+    Merged output must equal the golden oracle exactly."""
+    path = _random_fasta(tmp_path, seed=13, n_reads=300)
+    out = str(tmp_path / "ck.counts")
+    ckpt = str(tmp_path / "ck.npz")
+    worker = str(tmp_path / "worker_ck.py")
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    with open(worker, "w") as f:
+        f.write(_WORKER_CKPT % {"repo": REPO, "fasta": path, "out": out,
+                                "port": port, "ckpt": ckpt})
+    env = dict(os.environ)
+    with _two_proc_lock():
+        procs = [subprocess.Popen([sys.executable, worker, str(pid)],
+                                  env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE)
+                 for pid in range(2)]
+        outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, \
+            so.decode()[-500:] + "\n" + se.decode()[-3000:]
+    merge_parts(out, 2)
+    got = {}
+    for line in open(out):
+        kk, v = line.split()
+        assert kk not in got
+        got[kk] = int(v)
     golden = codec.golden_count(
         codec.encode_fasta(open(path, "rb").read())[0], 31)
     assert got == golden
