@@ -100,8 +100,8 @@ def validate(args) -> str:
     if args.pipeline == "skm":
         if args.KLEN < 16:
             return "--pipeline skm requires KLEN >= 16"
-        if args.use_bfilter or args.devices > 1 or args.backend != "sort":
-            return "--pipeline skm supports only the single-device sort backend"
+        if args.use_bfilter or args.backend != "sort":
+            return "--pipeline skm supports only the sort backend (no -b)"
     if not os.path.isfile(args.INPUT):
         return f"input file {args.INPUT} does not exist"
     return ""
@@ -216,7 +216,7 @@ def main(argv=None) -> int:
 
             cap = max(cap, next_store_size(
                 -(-args.hash_tab_size // args.devices)))
-        cfg = ShardedSortConfig(
+        kw = dict(
             k=args.KLEN,
             mode=args.hash_table_type,
             min_abundance=args.min_k_abu,
@@ -225,7 +225,16 @@ def main(argv=None) -> int:
             prefix_cap=cap,
             compactor=args.compactor,
         )
-        counter = ShardedSortCounter(cfg, make_mesh(args.devices))
+        if args.pipeline == "skm":
+            # blog2 >= 10 keeps batch_windows a multiple of skm.TILE
+            from .parallel.sharded_skm import (ShardedSkmConfig,
+                                               ShardedSkmCounter)
+
+            counter = ShardedSkmCounter(ShardedSkmConfig(**kw),
+                                        make_mesh(args.devices))
+        else:
+            counter = ShardedSortCounter(ShardedSortConfig(**kw),
+                                         make_mesh(args.devices))
         counter.count_file(args.INPUT)
     elif args.backend == "sort":
         from .models.sort_counter import SortCounterConfig, SortKmerCounter

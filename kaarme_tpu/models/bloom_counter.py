@@ -89,6 +89,8 @@ def bloom_pass1(cfg: BloomCounterConfig, chunks):
     """Stream chunks through the Bloom filter; returns (bf2, hfn, stats)."""
     bits, hfn = bloom_sizing(cfg.expected_unique, cfg.fpr)
     bits = max(bits, 1 << 10)
+    # blocked layout: extra bits buy back the one-word fp inflation
+    bits *= bloom_ops.BLOCK_COMPENSATION
     bf1 = bloom_ops.make_bloom(bits)
     bf2 = bloom_ops.make_bloom(bits)
     new1 = 0
@@ -187,6 +189,8 @@ class BloomSortCounter(SortKmerCounter):
         super().__init__(config)
         bits, hfn = bloom_sizing(expected_unique, fpr)
         bits = max(bits, 1 << 10)
+        # blocked layout: extra bits buy back the one-word fp inflation
+        bits *= bloom_ops.BLOCK_COMPENSATION
         self.hfn = hfn
         self.bf1 = bloom_ops.make_bloom(bits)
         self.bf2 = bloom_ops.make_bloom(bits)

@@ -741,17 +741,13 @@ def superstep_merged(packed, sep, prefix, wstart=0, srow=0, *,
 
 def _bloom_miss_mask(bf2, keys, hfn: int):
     """uint32 all-ones where the key's hfn Bloom bits are NOT all set
-    (arithmetic formulation — no boolean tensors on the hot path)."""
-    from .bloom import _positions
+    (arithmetic, ONE gather per key — blocked layout, ops/bloom.py)."""
+    from .bloom import contains_i32
     from .hashing import hash_words64
 
     r1, r2 = hash_words64(keys)
-    nbits = bf2.shape[0] * 32
-    hits = jnp.zeros(r1.shape, jnp.int32)
-    for j in range(hfn):
-        widx, mask = _positions(r1, r2, j, nbits)
-        hits = hits + _nz(bf2[widx] & mask)
-    return jax.lax.bitcast_convert_type((hits - hfn) >> 31, jnp.uint32)
+    hit = contains_i32(bf2, r1, r2, hfn)
+    return jax.lax.bitcast_convert_type((hit - 1) >> 31, jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("k", "n", "rows", "dense", "hfn",

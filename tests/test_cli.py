@@ -131,3 +131,17 @@ def test_cli_skm_validation(tmp_path):
     # skm composes only with the single-device sort backend (for now)
     assert cli.main([str(p), "31", "-s", "4096", "--pipeline", "skm",
                      "--backend", "table"]) == 1
+
+
+def test_cli_skm_devices_sharded(tmp_path):
+    """--pipeline skm --devices N routes through the sharded skm
+    counter (expand-then-exchange finalize on the virtual mesh)."""
+    p = _write_fasta(tmp_path, seed=9, n=3000)
+    out = tmp_path / "skm_sharded.out"
+    rc = cli.main([str(p), "21", "-s", "4096", "-a", "1", "-q",
+                   "--pipeline", "skm", "--devices", "8", "-o", str(out)])
+    assert rc == 0
+    golden = codec.golden_count(io_reader.read_codes(str(p)), 21)
+    got = {ln.split()[0]: int(ln.split()[1])
+           for ln in out.read_text().splitlines()}
+    assert got == golden
