@@ -32,6 +32,11 @@ from .sort_counter import SortCounterConfig, SortKmerCounter
 class SkmCounterConfig(SortCounterConfig):
     skm_slots: int = 96        # run-slot budget S per 512-window tile
                                # (ladder-doubled on overflow, max TILE)
+    segpack: str = "auto"      # segmentation + slot-pack front half:
+                               # "auto" (fused Pallas kernel on TPU when
+                               # the superstep is block-aligned, XLA
+                               # elsewhere), "pallas", "pallas_interpret"
+                               # (CPU tests), "xla"
 
     def __post_init__(self):
         super().__post_init__()
@@ -79,9 +84,18 @@ class SkmCounter(SortKmerCounter):
         mode = self._pallas_mode()       # auto -> Pallas compact on TPU
         if mode not in ("on", "off", "interpret"):
             mode = "off"                 # merge variants: classic-only
+        from ..ops import pallas_skm
+
+        sp = cfg.segpack
+        if sp == "auto":
+            # fused segmentation kernel on TPU; XLA on CPU
+            sp = "pallas" if mode == "on" else "xla"
+        if sp.startswith("pallas") and \
+                pallas_skm.pick_block_rows(n, cfg.k, self._S) is None:
+            sp = "xla"   # tail shapes with no whole-tile block split
         new_prefix, ndv = skm.skm_superstep(
             packed_d, sep_d, prefix_in, wstart, srow,
-            k=cfg.k, n=n, S=self._S, dense=dense, pallas=mode)
+            k=cfg.k, n=n, S=self._S, dense=dense, pallas=mode, segpack=sp)
         self._inflight.append(
             (new_prefix, ndv,
              (packed_d, sep_d, n, dense, wstart, srow, prefix_in)))

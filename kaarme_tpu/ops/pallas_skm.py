@@ -1,0 +1,329 @@
+"""Pallas TPU kernel: fused super-k-mer segmentation + slot packing.
+
+Replaces the XLA `run_rows` + `pack_slots` front half of the skm
+superstep (ops/skm.py).  The XLA formulation is pass-count bound:
+~60 full-array elementwise/scan passes per superstep (measured 210 ms
+for 16M windows — every elementwise op on this backend is a memory
+pass, and each pass costs ~25-31 ms per 2^24 elements regardless of
+formulation, scripts/probe_scans.py).  This kernel reads the unpacked
+code stream once per block and writes ONLY the slotted run rows
+(~S/512 of the window mass), keeping every intermediate in VMEM:
+
+  per block of B = block_rows*128 window positions (sequential grid):
+    - raw 16-base big-endian words at every position (16 lane/sublane
+      rolls, the pallas_winkeys pattern);
+    - window validity (log-shift sliding OR of the invalid bits over k);
+    - minimizer per window (log-shift sliding MIN of raw over k-15);
+    - run starts: minimizer/validity change vs the previous window
+      (SMEM carry across blocks) | LMAX cap force anchored at the last
+      TRUE start (in-block cummax + SMEM carry of the global position);
+    - run length ell: distance to the next start, <= LMAX by
+      construction for live runs (log-shift window-min over 16 on the
+      halo-extended domain);
+    - per-tile (512 windows) slot ordinals via an in-block cumsum with
+      tile bases subtracted; rows whose ordinal exceeds the slot budget
+      S are dropped and reported through the per-block max-runs output
+      (the driver's ladder-replay contract, models/skm_counter.py);
+    - content words (Wc gathers-from-ahead of raw), span-masked, plus
+      the (ell-1)<<26 | 1 meta word (dead runs all-ones);
+    - a TWO-stage monotone log-shift compaction moves every surviving
+      start row from window position tile*512+p to output position
+      tile*S+slot (the pallas_compact machinery): within-tile
+      front-pack, then a uniform per-tile re-stride — a single shift
+      is not monotone across tile boundaries and collides.
+
+Bit-identical to the XLA path (tests/test_pallas_skm.py pins both the
+interpreter and, via bench --verify, the compiled kernel).
+
+Reference counterpart: none — the reference has no minimizer concept;
+the capability this accelerates maps to its one-character-and-pointer
+chain exploiting window overlap (source/kmer_hash_table.cpp:2769-3068).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_compact import (_LANES, _cummax_flat, _cumsum_flat_incl,
+                             _flat_pos, _flat_roll1, _flat_roll_back)
+
+SENT = np.uint32(0xFFFFFFFF)
+_BLOCK_ROWS = 256
+M = 16       # minimizer m-mer length (ops/skm.py contract)
+LMAX = 16
+EBITS = 26
+
+
+def _shift_flat2(c2, d: int, S2: int):
+    """(S2,128) y with y.flat[i] = c2.flat[i+d], static d >= 0, on the
+    full concat domain (garbage wraps in the last d positions — callers
+    only read far from the end)."""
+    if d == 0:
+        return c2
+    ml, ms = d % _LANES, d // _LANES
+    y = c2
+    if ml:
+        xl = pltpu.roll(y, _LANES - ml, 1)
+        xn = pltpu.roll(xl, S2 - 1, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S2, _LANES), 1)
+        y = jnp.where(lane >= _LANES - ml, xn, xl)
+    if ms:
+        y = pltpu.roll(y, S2 - ms, 0)
+    return y
+
+
+def _slide_min(x, w: int, S2: int):
+    """y.flat[i] = min(x.flat[i .. i+w-1]) by log-shift."""
+    y, s = x, 1
+    while s < w:
+        step = min(s, w - s)
+        y = jnp.minimum(y, _shift_flat2(y, step, S2))
+        s += step
+    return y
+
+
+def _slide_or(x, w: int, S2: int):
+    y, s = x, 1
+    while s < w:
+        step = min(s, w - s)
+        y = y | _shift_flat2(y, step, S2)
+        s += step
+    return y
+
+
+def _skm_kernel(k: int, S_rows: int, S_slots: int, Wc: int):
+    S2 = 2 * S_rows
+    n_blk = S_rows * _LANES
+    w_min = k - M + 1
+    # tiles per block = S_rows*128/512 = S_rows//4; out elems = tiles*S_slots
+    out_rows = ((S_rows // 4) * S_slots) // _LANES
+
+    def kernel(main_ref, next_ref, *refs):
+        # refs: out content words [Wc], out meta, out maxruns (8,128)
+        #       (single block rewritten every step; [0,0] = running max),
+        #       carry SMEM (4,): [prev_minv, prev_valid, last_true_start,
+        #       running_maxruns]
+        *out_refs, mr_ref, carry = refs
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            carry[0] = jnp.uint32(0)
+            carry[1] = jnp.uint32(2)       # neither 0 nor 1: forces a
+            carry[2] = jnp.uint32(0)       # validity-change start at 0
+            carry[3] = jnp.uint32(0)       # running max-runs-per-tile
+
+        c2 = jnp.concatenate([main_ref[...], next_ref[...]], axis=0)
+        fpos2, _ = _flat_pos(S2)
+        gpos2 = i * n_blk + fpos2
+
+        # raw 16-base big-endian words at every position
+        raw = jnp.zeros((S2, _LANES), jnp.uint32)
+        for p in range(M):
+            code = _shift_flat2(c2, p, S2) & jnp.uint32(3)
+            raw = raw | (code << jnp.uint32(2 * (M - 1 - p)))
+
+        # window validity: any invalid base in [i, i+k)
+        invb = (c2 >> jnp.uint32(2)) & jnp.uint32(1)
+        invw = _slide_or(invb, k, S2)
+        valid = (jnp.uint32(1) - invw).astype(jnp.int32)
+
+        # minimizer per window; invalid windows forced to +inf.
+        # Mosaic has no unsigned vector min (arith.minui fails to
+        # legalize) — flip the sign bit so uint32 order == int32 order
+        # and take the min in signed space (only EQUALITY of minimizers
+        # is consumed downstream, so the biased domain never leaks).
+        raws = jax.lax.bitcast_convert_type(
+            raw ^ jnp.uint32(0x80000000), jnp.int32)
+        minv = _slide_min(raws, w_min, S2) if w_min > 1 else raws
+        minv = jnp.where(invw > 0, jnp.int32(0x7FFFFFFF), minv)
+
+        # true run starts: minimizer/validity change vs previous window
+        pm = jnp.where(fpos2 == 0, carry[0].astype(jnp.int32),
+                       _flat_roll1(minv, S2))
+        pv = jnp.where(fpos2 == 0, carry[1].astype(jnp.int32),
+                       _flat_roll1(valid, S2))
+        true_b = jnp.where((minv != pm) | (valid != pv) | (gpos2 == 0),
+                           jnp.int32(1), jnp.int32(0))
+
+        # LMAX cap force anchored at the last TRUE start (global pos)
+        cand = jnp.where(true_b == 1, gpos2, jnp.int32(-1))
+        lts = jnp.maximum(_cummax_flat(cand, S2, jnp.int32(-1)),
+                          carry[2].astype(jnp.int32))
+        pos1 = gpos2 - lts
+        force = jnp.where(
+            (valid == 1) & (pos1 > 0) & ((pos1 & jnp.int32(LMAX - 1)) == 0),
+            jnp.int32(1), jnp.int32(0))
+        b2 = jnp.maximum(true_b, force)
+
+        # ell: distance to the next start within [i+1, i+LMAX]
+        x = jnp.where(b2 == 1, fpos2, jnp.int32(1 << 30))
+        nxt = _slide_min(_shift_flat2(x, 1, S2), LMAX, S2)
+        ell2 = jnp.clip(nxt - fpos2, 1, LMAX)
+
+        # ---- slice to the main block domain ----
+        sl = lambda v: jax.lax.slice(v, (0, 0), (S_rows, _LANES))
+        b = sl(b2)
+        ell = sl(ell2)
+        vld = sl(valid)
+        fpos, _ = _flat_pos(S_rows)
+
+        # carries for the next block (window B-1's unsliced values)
+        lastm = jnp.where(fpos2 == n_blk - 1, jnp.int32(1), jnp.int32(0))
+
+        def _at_last(v):
+            vi = jax.lax.bitcast_convert_type(v.astype(jnp.uint32), jnp.int32)
+            return jnp.sum(vi * lastm).astype(jnp.uint32)
+
+        carry[0] = _at_last(minv)
+        carry[1] = _at_last(valid.astype(jnp.uint32))
+        carry[2] = _at_last(lts.astype(jnp.uint32))
+
+        # ---- per-tile slot ordinals (tiles = 512 windows, in-block) ----
+        C = _cumsum_flat_incl(b, S_rows)            # inclusive starts count
+        is_tl = jnp.where((fpos & jnp.int32(511)) == 511,
+                          jnp.int32(1), jnp.int32(0))
+        D = _cummax_flat(jnp.where(is_tl == 1, C, jnp.int32(0)),
+                         S_rows, jnp.int32(0))
+        E = jnp.where(fpos == 0, jnp.int32(0), _flat_roll1(D, S_rows))
+        slot = C - b - E                            # exclusive in-tile ordinal
+        runs_t = (C - E) * is_tl
+        mr = jnp.maximum(jnp.max(runs_t), carry[3].astype(jnp.int32))
+        carry[3] = mr.astype(jnp.uint32)
+        mr_ref[...] = jnp.broadcast_to(mr, (8, _LANES))
+
+        # ---- run-row values at start positions ----
+        dead = jnp.uint32(0) - (jnp.int32(1) - vld).astype(jnp.uint32)
+        span = ell + jnp.int32(k - 1)
+        cur = []
+        for j in range(Wc):
+            cw = sl(_shift_flat2(raw, M * j, S2))
+            nb = jnp.clip(span - 16 * j, 0, 16)
+            sh = jnp.clip(32 - 2 * nb, 0, 30).astype(jnp.uint32)
+            mask = (jnp.uint32(0xFFFFFFFF) << sh) \
+                * jnp.minimum(nb, 1).astype(jnp.uint32)
+            cur.append((cw & mask) | dead)
+        meta = (((ell - 1).astype(jnp.uint32) << jnp.uint32(EBITS))
+                | jnp.uint32(1)) | dead
+        cur.append(meta)
+
+        # ---- two-stage monotone log-shift compaction ----
+        # A single shift to tile*S_slots+slot is NOT monotone across
+        # tile boundaries (a tile whose starts sit late has a larger
+        # distance than the next tile's early starts) and collides.
+        # Stage 1 front-packs starts WITHIN their tile (distances
+        # nondecreasing inside a tile, and moves never cross the tile's
+        # left edge, so tiles cannot interact); stage 2 re-strides whole
+        # tiles from 512 to S_slots spacing (uniform per-tile distance,
+        # globally nondecreasing).
+        def logshift(cur, av, dist, dmax):
+            d = 1
+            while d < dmax:
+                mv = av * jnp.where((dist & d) != 0, 1, 0)
+                take = _flat_roll_back(mv, d, S_rows, jnp.int32(0))
+                cur = [jnp.where(take == 1,
+                                 _flat_roll_back(c, d, S_rows, SENT), c)
+                       for c in cur]
+                dist = jnp.where(
+                    take == 1,
+                    _flat_roll_back(dist, d, S_rows, jnp.int32(0)), dist)
+                av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
+                d *= 2
+            return cur, av
+
+        av = b * jnp.where(slot < S_slots, 1, 0)
+        dist1 = jnp.where(av == 1,
+                          (fpos & jnp.int32(511)) - slot, jnp.int32(0))
+        cur = [jnp.where(av == 1, c, SENT) for c in cur]
+        cur, av = logshift(cur, av, dist1, 512)
+
+        tile = fpos >> jnp.int32(9)       # post-stage-1 position's tile
+        dist2 = jnp.where(av == 1, tile * (512 - S_slots), jnp.int32(0))
+        cur, av = logshift(cur, av, dist2, n_blk)
+
+        for j in range(Wc + 1):
+            out = jnp.where(av == 1, cur[j], SENT)
+            out_refs[j][...] = jax.lax.slice(out, (0, 0),
+                                             (out_rows, _LANES))
+
+    return kernel, out_rows
+
+
+def pick_block_rows(n: int, k: int, S: int) -> "int | None":
+    """Largest supported block size for an n-window superstep (multiple
+    of one 512-window tile, dividing n, lookahead-covering, with a
+    whole number of 128-lane output rows per block), or None."""
+    Wc = (LMAX + k - 1 + 15) // 16
+    lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
+    for br in (256, 128, 64, 32, 16, 8, 4):
+        if (n % (br * _LANES) == 0 and lookahead <= br * _LANES
+                and ((br // 4) * S) % _LANES == 0):
+            return br
+    return None
+
+
+@partial(jax.jit, static_argnames=("k", "n", "S", "block_rows", "interpret"))
+def run_rows_slotted_pallas(codes, *, k: int, n: int, S: int,
+                            block_rows: "int | None" = None,
+                            interpret: bool = False):
+    """codes (uint32 [>= n + lookahead], bit0-1 = 2-bit code, bit 2 =
+    invalid) -> (slotted columns: Wc content + meta, each uint32
+    [(n // 512) * S], max_tile_runs int32 scalar) — bit-identical to
+    skm.run_rows + skm.pack_slots.
+
+    n must be a multiple of block_rows*128 (default: largest supported
+    block, pick_block_rows); S even, <= 512; windows [n_real, n) must
+    be invalid in `codes` (the superstep's separator padding guarantees
+    it).
+    """
+    if k < M:
+        raise ValueError("skm kernel requires k >= 16")
+    Wc = (LMAX + k - 1 + 15) // 16
+    if block_rows is None:
+        block_rows = pick_block_rows(n, k, S)
+        if block_rows is None:
+            raise ValueError(f"n={n} has no supported block size")
+    blk = block_rows * _LANES
+    if n % blk:
+        raise ValueError(f"n={n} not a multiple of {blk}")
+    if S % 2 or S > 512:
+        raise ValueError("S must be even and <= 512")
+    lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
+    if lookahead > blk:
+        raise ValueError(f"k={k} lookahead exceeds one block")
+    nb = n // blk
+    need = (nb + 1) * blk
+    pad = need - codes.shape[0]
+    if pad < 0:
+        codes = codes[:need]
+    else:
+        codes = jnp.concatenate([codes, jnp.full((pad,), jnp.uint32(4))])
+    c2d = codes.reshape(-1, _LANES)
+
+    kernel, out_rows = _skm_kernel(k, block_rows, S, Wc)
+    grid = (nb,)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((nb * out_rows, _LANES), jnp.uint32)
+                   for _ in range(Wc + 1)]
+        + [jax.ShapeDtypeStruct((8, _LANES), jnp.int32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, _LANES), lambda i: (i + 1, 0)),
+        ],
+        out_specs=[pl.BlockSpec((out_rows, _LANES), lambda i: (i, 0))
+                   for _ in range(Wc + 1)]
+        + [pl.BlockSpec((8, _LANES), lambda i: (0, 0))],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.uint32)],
+        interpret=interpret,
+    )(c2d, c2d)
+    cols = tuple(o.reshape(-1) for o in outs[:-1])
+    maxruns = outs[-1][0, 0]
+    return cols, maxruns

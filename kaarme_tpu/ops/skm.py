@@ -282,10 +282,11 @@ def pack_slots(b, cols, n: int, S: int, k: int):
 # Fused superstep: packed stream + run-store prefix -> new run store
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k", "n", "S", "dense", "pallas"))
+@partial(jax.jit, static_argnames=("k", "n", "S", "dense", "pallas",
+                                   "segpack"))
 def skm_superstep(packed, sep, prefix, wstart=0, srow=0, *,
                   k: int, n: int, S: int, dense: bool = False,
-                  pallas: str = "off"):
+                  pallas: str = "off", segpack: str = "xla"):
     """One dispatch: segment -> pack run rows -> sort -> merge with the
     run-store prefix (embedded-count compaction, ebits=26).
 
@@ -300,22 +301,35 @@ def skm_superstep(packed, sep, prefix, wstart=0, srow=0, *,
     (_compact_embedded: second sort), "on" = the fused Pallas
     segsum/compaction kernel, "interpret" = same in interpreter mode
     (CPU tests).
+
+    ``segpack``: segmentation + slot-pack front half — "xla" (run_rows
+    + pack_slots), "pallas" (the fused ops/pallas_skm.py kernel; needs
+    n % 32768 == 0), "pallas_interpret" (same, interpreter mode).
     """
     w = len(prefix) - 1              # = store_words(k)
     Wc = content_words(k)
     cap = prefix[0].shape[0]
     packed, sep = sortcount._chunk_views(packed, sep, wstart, srow, k, n, dense)
     L = n + k - 1
-    # packed words padded so mword reads stay in range (code bits of
-    # invalid/past-end positions are zero by the pack contract)
-    need_words = (n + 16 * (Wc - 1)) // 16 + 2
-    pk = jnp.concatenate([
-        packed,
-        jnp.zeros((max(0, need_words - packed.shape[0]),), jnp.uint32)])
-    inval = sortcount.invalid_from_dense(sep, L) if dense \
-        else sortcount.invalid_from_sparse(sep, L)
-    b, cols = run_rows(pk, inval, k, n)
-    slotted, maxruns = pack_slots(b, cols, n, S, k)
+    if segpack in ("pallas", "pallas_interpret"):
+        from . import pallas_skm
+
+        codes = sortcount.unpack_codes(packed, sep, L) if dense \
+            else sortcount.unpack_codes_sparse(packed, sep, L)
+        slotted, maxruns = pallas_skm.run_rows_slotted_pallas(
+            codes, k=k, n=n, S=S,
+            interpret=(segpack == "pallas_interpret"))
+    else:
+        # packed words padded so mword reads stay in range (code bits of
+        # invalid/past-end positions are zero by the pack contract)
+        need_words = (n + 16 * (Wc - 1)) // 16 + 2
+        pk = jnp.concatenate([
+            packed,
+            jnp.zeros((max(0, need_words - packed.shape[0]),), jnp.uint32)])
+        inval = sortcount.invalid_from_dense(sep, L) if dense \
+            else sortcount.invalid_from_sparse(sep, L)
+        b, cols = run_rows(pk, inval, k, n)
+        slotted, maxruns = pack_slots(b, cols, n, S, k)
 
     merge_cols = [jnp.concatenate([prefix[i], slotted[i]])
                   for i in range(w - 1)]
@@ -442,7 +456,7 @@ def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int):
 
 
 def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
-                   single_shot_rows: int = 1 << 24):
+                   single_shot_rows: "int | None" = None):
     """DEVICE-side finalize: expand the distinct run store (device or
     NumPy columns: Wc content + meta-key + count) and segment-reduce
     into a sorted k-mer store ON DEVICE.  Returns (store columns —
@@ -462,6 +476,13 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
     R = int(run_store[0].shape[0])
     if R == 0:
         return sortcount.make_store(0, W), 0
+    if single_shot_rows is None:
+        # bytes-aware: one expand+compact materializes ~3 sort
+        # generations of (W+1) uint32 columns; budget ~3 GB of HBM for
+        # it (the single shot is ~3x cheaper than the chunked loop —
+        # measured: the bench store at 2.2M runs paid ~1.8s chunked vs
+        # ~0.6s single-shot)
+        single_shot_rows = min(1 << 26, (3 << 30) // ((W + 1) * 12))
     # coerce dtypes: NumPy callers easily arrive with int64/int32 key
     # columns (np.stack of keys + an int32 count column promotes), and
     # signed key words silently break the sort order and sentinel masks
@@ -504,7 +525,7 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
 
 
 def finalize_counts(run_store, k: int, chunk_rows: int = 1 << 20,
-                    single_shot_rows: int = 1 << 24):
+                    single_shot_rows: "int | None" = None):
     """Host-side finalize: ``finalize_store`` + one device->host fetch.
     Returns (keys (N, W) uint32 sorted, counts (N,) int64)."""
     store, nd = finalize_store(run_store, k, chunk_rows, single_shot_rows)

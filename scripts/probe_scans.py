@@ -70,8 +70,9 @@ def main():
             y, s = v, 1
             while s < w:
                 step = min(s, w - s)
-                y = jnp.maximum(jax.lax.slice(y, (0,), (n - step,)),
-                                jax.lax.slice(y, (step,), (n,)))
+                m = y.shape[0]
+                y = jnp.maximum(jax.lax.slice(y, (0,), (m - step,)),
+                                jax.lax.slice(y, (step,), (m,)))
                 s += step
             return y
         return f
