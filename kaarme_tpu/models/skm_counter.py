@@ -93,9 +93,20 @@ class SkmCounter(SortKmerCounter):
         if sp.startswith("pallas") and \
                 pallas_skm.pick_block_rows(n, cfg.k, self._S) is None:
             sp = "xla"   # tail shapes with no whole-tile block split
-        new_prefix, ndv = skm.skm_superstep(
-            packed_d, sep_d, prefix_in, wstart, srow,
-            k=cfg.k, n=n, S=self._S, dense=dense, pallas=mode, segpack=sp)
+        if sp.startswith("pallas"):
+            # SPLIT dispatch: the fused segmentation kernel lives in its
+            # own program (fusing it with the sort/compact program
+            # stalls the remote XLA compile — ops/skm.py docstring)
+            slotted, maxruns = skm.skm_segpack_step(
+                packed_d, sep_d, wstart, srow, k=cfg.k, n=n, S=self._S,
+                dense=dense, interpret=(sp == "pallas_interpret"))
+            new_prefix, ndv = skm.skm_merge_step(
+                slotted, maxruns, prefix_in, pallas=mode)
+        else:
+            new_prefix, ndv = skm.skm_superstep(
+                packed_d, sep_d, prefix_in, wstart, srow,
+                k=cfg.k, n=n, S=self._S, dense=dense, pallas=mode,
+                segpack="xla")
         self._inflight.append(
             (new_prefix, ndv,
              (packed_d, sep_d, n, dense, wstart, srow, prefix_in)))

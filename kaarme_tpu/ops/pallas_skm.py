@@ -262,8 +262,10 @@ def pick_block_rows(n: int, k: int, S: int) -> "int | None":
     Wc = (LMAX + k - 1 + 15) // 16
     lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
     for br in (256, 128, 64, 32, 16, 8, 4):
+        # Mosaic block constraint: output blocks need >= 8 sublane rows
+        # divisibility, i.e. (tiles_per_block * S) % (8 * 128) == 0
         if (n % (br * _LANES) == 0 and lookahead <= br * _LANES
-                and ((br // 4) * S) % _LANES == 0):
+                and ((br // 4) * S) % (8 * _LANES) == 0):
             return br
     return None
 

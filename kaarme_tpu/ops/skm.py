@@ -331,6 +331,14 @@ def skm_superstep(packed, sep, prefix, wstart=0, srow=0, *,
         b, cols = run_rows(pk, inval, k, n)
         slotted, maxruns = pack_slots(b, cols, n, S, k)
 
+    return _merge_slotted(slotted, maxruns, prefix, pallas)
+
+
+def _merge_slotted(slotted, maxruns, prefix, pallas: str):
+    """Shared superstep tail: merge slotted run rows into the store
+    (sort + embedded-count compaction at ebits=26)."""
+    w = len(prefix) - 1
+    cap = prefix[0].shape[0]
     merge_cols = [jnp.concatenate([prefix[i], slotted[i]])
                   for i in range(w - 1)]
     merge_cols.append(jnp.concatenate(
@@ -344,6 +352,35 @@ def skm_superstep(packed, sep, prefix, wstart=0, srow=0, *,
     out, ndv = sortcount._pallas_finish(s, cap, True, EBITS,
                                         pallas == "interpret")
     return out, jnp.concatenate([ndv, maxruns.astype(ndv.dtype)[None]])
+
+
+@partial(jax.jit, static_argnames=("k", "n", "S", "dense", "interpret"))
+def skm_segpack_step(packed, sep, wstart=0, srow=0, *, k: int, n: int,
+                     S: int, dense: bool = False, interpret: bool = False):
+    """Standalone dispatch: transfer chunk -> slotted run rows +
+    max-tile-runs via the fused Pallas kernel (ops/pallas_skm.py).
+
+    Kept as its OWN program: combining the segmentation kernel and the
+    sort/compact program in one jit stalls the remote XLA compile on
+    the target toolchain (>40 min, vs seconds for each piece — measured
+    round 4).  The extra dispatch costs ~26 ms fixed; the slotted rows
+    round-trip ~S/512 of the window mass through HBM (~1 ms)."""
+    from . import pallas_skm
+
+    packed, sep = sortcount._chunk_views(packed, sep, wstart, srow,
+                                         k, n, dense)
+    L = n + k - 1
+    codes = sortcount.unpack_codes(packed, sep, L) if dense \
+        else sortcount.unpack_codes_sparse(packed, sep, L)
+    return pallas_skm.run_rows_slotted_pallas(
+        codes, k=k, n=n, S=S, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("pallas",))
+def skm_merge_step(slotted, maxruns, prefix, *, pallas: str = "off"):
+    """Standalone dispatch: merge slotted run rows into the run store
+    (the other half of the split superstep — see skm_segpack_step)."""
+    return _merge_slotted(slotted, maxruns, prefix, pallas)
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,32 @@ def _two_proc_lock():
             fcntl.flock(f, fcntl.LOCK_UN)
 
 
+
+def _spawn_two(worker, env):
+    """Run the 2-process worker pair; retry ONCE when the only failure
+    is a coordination-service barrier timeout (oversubscribed CI box:
+    compile skew between the pair starves the init/shutdown barriers).
+    Real assertion/output failures propagate immediately."""
+    for attempt in (0, 1):
+        with _two_proc_lock():
+            procs = [subprocess.Popen([sys.executable, worker, str(pid)],
+                                      env=env, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE)
+                     for pid in range(2)]
+            outs = [p.communicate(timeout=600) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        blurb = b"".join(se for _, se in outs)
+        flake = (b"Barrier timed out" in blurb
+                 or b"DEADLINE_EXCEEDED" in blurb
+                 or b"Shutdown barrier" in blurb)
+        if not flake or attempt:
+            for p, (so, se) in zip(procs, outs):
+                assert p.returncode == 0, \
+                    so.decode()[-500:] + "\n" + se.decode()[-3000:]
+    return outs
+
+
 @pytest.mark.parametrize("num_hosts", [2, 3, 5])
 @pytest.mark.parametrize("k", [7, 31])
 def test_host_span_union_is_exact(tmp_path, num_hosts, k):
@@ -208,14 +234,7 @@ def test_two_process_end_to_end(tmp_path):
         f.write(_WORKER % {"repo": REPO, "fasta": path, "out": out,
                            "port": port})
     env = dict(os.environ)
-    with _two_proc_lock():
-        procs = [subprocess.Popen([sys.executable, worker, str(pid)],
-                                  env=env, stdout=subprocess.PIPE,
-                                  stderr=subprocess.PIPE)
-                 for pid in range(2)]
-        outs = [p.communicate(timeout=600) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, se.decode()[-3000:]
+    _spawn_two(worker, env)
 
     total = merge_parts(out, 2)
     got = {}
@@ -284,15 +303,7 @@ def test_two_process_checkpoint_resume(tmp_path):
         f.write(_WORKER_CKPT % {"repo": REPO, "fasta": path, "out": out,
                                 "port": port, "ckpt": ckpt})
     env = dict(os.environ)
-    with _two_proc_lock():
-        procs = [subprocess.Popen([sys.executable, worker, str(pid)],
-                                  env=env, stdout=subprocess.PIPE,
-                                  stderr=subprocess.PIPE)
-                 for pid in range(2)]
-        outs = [p.communicate(timeout=600) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, \
-            so.decode()[-500:] + "\n" + se.decode()[-3000:]
+    _spawn_two(worker, env)
     merge_parts(out, 2)
     got = {}
     for line in open(out):
