@@ -180,9 +180,11 @@ def main():
                     help="superstep variant (auto/pallas/xla/merge/...)")
     ap.add_argument("--winkeys", default="auto",
                     help="window-key extraction (auto/packed/codes/legacy)")
-    ap.add_argument("--pipeline", default="classic",
-                    help="counting pipeline: classic (one sorted row per "
-                         "window) or skm (minimizer-run dedup, ops/skm.py)")
+    ap.add_argument("--pipeline", default="skm",
+                    help="counting pipeline: skm (minimizer-run dedup, "
+                         "ops/skm.py — the default since it beats classic "
+                         "on-chip: BENCHMATRIX_r04) or classic (one sorted "
+                         "row per window)")
     ap.add_argument("--verify", action="store_true",
                     help="correctness mode: count a small workload on the "
                          "real device (all Pallas kernels active), diff "

@@ -62,11 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel on TPU, XLA elsewhere), merge (linear "
                         "run-merge kernel — sorts only the batch and streams "
                         "the prefix), or explicit overrides (def. auto)")
-    p.add_argument("--pipeline", choices=("classic", "skm"), default="classic",
-                   help="Sort-backend counting pipeline: 'classic' sorts one "
-                        "row per window; 'skm' deduplicates minimizer runs "
-                        "(super-k-mers) before sorting — faster on "
-                        "high-coverage inputs, requires k >= 16 (def. classic)")
+    p.add_argument("--pipeline", choices=("auto", "classic", "skm"),
+                   default="auto",
+                   help="Sort-backend counting pipeline: 'skm' deduplicates "
+                        "minimizer runs (super-k-mers) before sorting "
+                        "(faster; requires k >= 16); 'classic' sorts one "
+                        "row per window; 'auto' picks skm when eligible "
+                        "(def. auto)")
     p.add_argument("-q", "--quiet", action="store_true", help="Suppress the settings banner")
     p.add_argument("--query", action="store_true",
                    help="After counting, read k-mers from stdin and print their "
@@ -97,6 +99,10 @@ def validate(args) -> str:
         return "--backend table does not support --devices; use the sort backend"
     if args.devices > 1 and args.use_bfilter:
         return "-b/--use-bfilter does not support --devices yet"
+    if args.pipeline == "auto":
+        # skm when eligible: k >= 16, sort backend, no Bloom prefilter
+        args.pipeline = "skm" if (args.KLEN >= 16 and not args.use_bfilter
+                                  and args.backend == "sort") else "classic"
     if args.pipeline == "skm":
         if args.KLEN < 16:
             return "--pipeline skm requires KLEN >= 16"

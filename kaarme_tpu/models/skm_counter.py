@@ -181,11 +181,17 @@ class SkmCounter(SortKmerCounter):
             return self._final_cache[1]
         # device-resident: slice the live region to a ladder size
         # (bounded compile variants; rows past n_used are sentinels with
-        # count 0 and drop at expansion) — no host round-trip
-        from ..ops import sortcount
-
-        m = min(sortcount.next_store_size(max(self.n_used, 1)),
-                self.prefix[0].shape[0])
+        # count 0 and drop at expansion) — no host round-trip.  The
+        # finalize ladder is FINER than the store ladder ({1, 1.125,
+        # 1.25, 1.5, 1.75} x 2^m): expansion multiplies slack by LMAX
+        # rows, and finalize runs once per job so the extra compile
+        # variants amortize (measured: the coarse ladder padded a 2.2M
+        # store to 3.1M -> 14M dead expanded rows, ~0.2s of sort)
+        m = self.prefix[0].shape[0]
+        need = max(self.n_used, 1)
+        if need < m:
+            lo = 1 << max((need - 1).bit_length() - 3, 3)
+            m = min(m, -(-need // lo) * lo)
         run_cols = tuple(c[:m] for c in self.prefix)
         out = skm.finalize_store(run_cols, self.cfg.k)
         self._final_cache = (tag, out)
