@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--checkpoint-at", type=float, default=0.5,
                     help="fraction of chunks after which to snapshot")
     ap.add_argument("--fasta", default="/tmp/endurance.fasta")
+    ap.add_argument("--prefix-log2", type=int, default=23,
+                    help="initial distinct-store capacity (log2): pre-size "
+                         "for the expected distinct count — every growth "
+                         "event at a new capacity costs a fresh superstep "
+                         "compile (minutes on the tunnel)")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +101,8 @@ def main():
         def mk():
             return SkmCounter(SkmCounterConfig(
                 k=k, batch_windows=1 << 23, rows=1 << 12,
-                superbatch_batches=4, prefix_cap=1 << 23, min_abundance=2))
+                superbatch_batches=4, prefix_cap=1 << args.prefix_log2,
+                min_abundance=2))
     else:
         from kaarme_tpu.models.sort_counter import (SortCounterConfig,
                                                     SortKmerCounter)
@@ -104,7 +110,8 @@ def main():
         def mk():
             return SortKmerCounter(SortCounterConfig(
                 k=k, batch_windows=1 << 23, rows=1 << 12,
-                superbatch_batches=4, prefix_cap=1 << 23, min_abundance=2))
+                superbatch_batches=4, prefix_cap=1 << args.prefix_log2,
+                min_abundance=2))
 
     # pass 1: straight streaming run
     c = mk()
