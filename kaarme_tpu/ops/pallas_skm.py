@@ -291,6 +291,12 @@ def run_rows_slotted_pallas(codes, *, k: int, n: int, S: int,
         block_rows = pick_block_rows(n, k, S)
         if block_rows is None:
             raise ValueError(f"n={n} has no supported block size")
+    elif block_rows % 4 or ((block_rows // 4) * S) % _LANES:
+        # mirror the pick_block_rows divisibility: out_rows floor-division
+        # would otherwise silently truncate trailing slotted rows (ADVICE r4)
+        raise ValueError(
+            f"block_rows={block_rows} needs block_rows % 4 == 0 and "
+            f"(block_rows // 4) * S divisible by {_LANES}")
     blk = block_rows * _LANES
     if n % blk:
         raise ValueError(f"n={n} not a multiple of {blk}")

@@ -306,9 +306,7 @@ def skm_superstep(packed, sep, prefix, wstart=0, srow=0, *,
     + pack_slots), "pallas" (the fused ops/pallas_skm.py kernel; needs
     n % 32768 == 0), "pallas_interpret" (same, interpreter mode).
     """
-    w = len(prefix) - 1              # = store_words(k)
     Wc = content_words(k)
-    cap = prefix[0].shape[0]
     packed, sep = sortcount._chunk_views(packed, sep, wstart, srow, k, n, dense)
     L = n + k - 1
     if segpack in ("pallas", "pallas_interpret"):
@@ -553,7 +551,9 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
             if nd <= acc[0].shape[0]:
                 acc = new_acc
                 break
-            cap = sortcount.next_store_size(acc[0].shape[0] + 1)
+            # nd is the exact required size: grow straight to it (one
+            # retry) instead of one ladder step per retry (ADVICE r4)
+            cap = sortcount.next_store_size(nd)
             acc = tuple(
                 jnp.concatenate(
                     [c, sortcount.dead_fill((cap - c.shape[0],), c.dtype)])

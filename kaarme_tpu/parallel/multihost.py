@@ -547,13 +547,17 @@ def _make_multihost_cls():
             cnt = cols[-1]
             alive = cnt > 0
             keys = np.stack([c[alive] for c in cols[:w]], axis=1)
+            # atomic part write: a crash mid-write must not leave a
+            # truncated file at the canonical name (ADVICE r4)
+            tmp = f"{path}.part{self.pid}.tmp.npz"
             np.savez_compressed(
-                f"{path}.part{self.pid}", kind="multihost_sort",
+                tmp, kind="multihost_sort",
                 k=self.cfg.k, mode=self.cfg.mode,
                 min_abundance=self.cfg.min_abundance,
                 keys=keys, counts=cnt[alive].astype(np.int64),
                 windows_processed=self.stats["windows_processed"],
                 num_parts=self.nproc)
+            os.replace(tmp, f"{path}.part{self.pid}.npz")
 
         @classmethod
         def load(cls, path: str, config=None, mesh=None):

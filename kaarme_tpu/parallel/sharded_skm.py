@@ -257,8 +257,10 @@ class ShardedSkmCounter(ShardedSortCounter):
                 if nd_max <= acc[0].shape[1]:
                     acc = out[:-1]
                     break
-                # SPMD-uniform accumulator growth (replicated pmax)
-                new_cap = sortcount.next_store_size(acc[0].shape[1] + 1)
+                # SPMD-uniform accumulator growth (replicated pmax);
+                # nd_max is the exact required size — grow straight to
+                # it so each chunk retries at most once (ADVICE r4)
+                new_cap = sortcount.next_store_size(nd_max)
                 acc = tuple(
                     jnp.concatenate(
                         [a, jnp.broadcast_to(
