@@ -175,7 +175,19 @@ def main():
                     help="initial distinct-store capacity (log2); 2^23 matches "
                          "the reference README's own -s 8000000 sizing for this "
                          "workload (growth-replay would otherwise double work)")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed end-to-end repeats; the headline is the "
+                         "MEDIAN with min and spread reported alongside "
+                         "(the tunnel's run-to-run drift is larger than "
+                         "most optimization wins — VERDICT r4)")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="coverage multiplier for scaled rows (10 = the "
+                         "steady-state workload: fixed costs amortized, "
+                         "distinct set unchanged)")
+    ap.add_argument("--no-crosscheck", action="store_true",
+                    help="skip the classic-pipeline distinct-equality "
+                         "cross-check run")
+    ap.add_argument("--transfer-group", type=int, default=4)
     ap.add_argument("--compactor", default="auto",
                     help="superstep variant (auto/pallas/xla/merge/...)")
     ap.add_argument("--winkeys", default="auto",
@@ -206,7 +218,8 @@ def main():
         return run_verify(args)
 
     k = args.k
-    codes = make_reads(args.genome_mb, args.coverage, args.read_len)
+    coverage = args.coverage * args.scale
+    codes = make_reads(args.genome_mb, coverage, args.read_len)
     n_windows = int((codes.shape[0] // (args.read_len + 1))
                     * (args.read_len - k + 1))
 
@@ -218,6 +231,7 @@ def main():
         k=k, batch_windows=1 << args.batch_log2, rows=1 << args.rows_log2,
         merge_every=args.merge_every, superbatch_batches=args.superbatch,
         prefix_cap=1 << args.prefix_log2, min_abundance=2,
+        transfer_group=args.transfer_group,
     )
     if args.pipeline == "skm":
         from kaarme_tpu.models.skm_counter import SkmCounter, SkmCounterConfig
@@ -246,24 +260,149 @@ def main():
     # warm-up / compile
     _, counter = run_once()
 
-    best = float("inf")
+    times = []
     for _ in range(args.repeats):
         dt, counter = run_once()
-        best = min(best, dt)
+        times.append(dt)
+    times.sort()
+    t_med = times[len(times) // 2] if len(times) % 2 else \
+        0.5 * (times[len(times) // 2 - 1] + times[len(times) // 2])
+    t_min = times[0]
+    spread_pct = 100.0 * (times[-1] - times[0]) / t_med if t_med else 0.0
 
-    kmers_per_s = n_windows / best
+    # exact finalized distinct k-mers (the run-store n_distinct counts
+    # RUNS for the skm pipeline — VERDICT r4 weak 5)
+    if args.pipeline == "skm":
+        distinct = counter.distinct_kmers()
+    else:
+        distinct = counter.n_distinct
+
+    # device-only streaming rate: serial drained device passes over the
+    # same superbatches (transfers and host prep excluded) so the
+    # tunnel's link speed and drift are visible separately from the
+    # device's own throughput
+    device_only = None
+    if args.pipeline == "skm":
+        device_only = measure_device_only(args, codes, k, drain)
+
+    # once per session: the skm distinct set must equal the classic
+    # pipeline's (golden equality at bench scale — VERDICT r4 missing 5)
+    crosscheck = None
+    if args.pipeline == "skm" and not args.no_crosscheck:
+        c2 = SortKmerCounter(SortCounterConfig(
+            compactor=args.compactor, winkeys=args.winkeys, **common))
+        c2.count_codes(codes)
+        drain(c2.prefix)
+        crosscheck = bool(c2.n_distinct == distinct)
+        print(f"# crosscheck classic distinct={c2.n_distinct} "
+              f"skm distinct={distinct} equal={crosscheck}",
+              file=sys.stderr)
+
+    kmers_per_s = n_windows / t_med
     print(
-        f"# device={jax.devices()[0]} windows={n_windows} time={best:.3f}s "
-        f"distinct={counter.n_distinct} k={k} batches={counter.stats['batches']} "
+        f"# device={jax.devices()[0]} windows={n_windows} "
+        f"median={t_med:.3f}s min={t_min:.3f}s spread={spread_pct:.0f}% "
+        f"distinct_kmers={distinct} k={k} "
+        f"batches={counter.stats['batches']} "
         f"merges={counter.stats['compactions']}",
         file=sys.stderr,
     )
-    print(json.dumps({
+    out = {
         "metric": "canonical_kmers_per_sec_per_chip",
         "value": round(kmers_per_s),
         "unit": "kmers/s",
         "vs_baseline": round(kmers_per_s / 1e9, 4),
-    }))
+        "median_s": round(t_med, 3),
+        "min_s": round(t_min, 3),
+        "spread_pct": round(spread_pct, 1),
+        "best_kmers_per_s": round(n_windows / t_min),
+        "windows": n_windows,
+        "distinct_kmers": int(distinct),
+    }
+    if device_only is not None:
+        out["device_only_kmers_per_s"] = device_only
+    if crosscheck is not None:
+        out["distinct_matches_classic"] = crosscheck
+    print(json.dumps(out))
+
+
+def measure_device_only(args, codes, k, drain):
+    """Serial drained device time for the skm pipeline on the bench
+    superbatches: segpack + merge per superstep + one finalize, no
+    transfers in the timed region (each superbatch is device-resident
+    before its clock starts)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from kaarme_tpu.ops import skm, sortcount
+
+    n = (1 << args.batch_log2) * args.superbatch
+    need = n + k - 1
+    total = codes.shape[0] - (k - 1)
+    cap = sortcount.next_store_size(max(n // 8, 1 << 12))
+
+    # pre-pack and pre-transfer every superbatch
+    chunks = []
+    lo = 0
+    while lo + n <= total:
+        sl = codes[lo: lo + need]
+        packed, _ = sortcount.pack_stream_np(sl)
+        seps = np.flatnonzero(sl >= 4).astype(np.uint32)
+        budget = max(n // 128, 32)
+        if seps.shape[0] > budget:
+            return None          # dense-bitmap shapes: skip the measure
+        sep = np.full(budget, need, np.uint32)
+        sep[: seps.shape[0]] = seps
+        packed_d = jax.device_put(jnp.asarray(packed))
+        sep_d = jax.device_put(jnp.asarray(sep))
+        drain((packed_d, sep_d))
+        chunks.append((packed_d, sep_d))
+        lo += n
+    if not chunks:
+        return None
+
+    t_dev = None
+    for timed in (False, True):      # pass 1 compiles every variant
+        prefix = sortcount.make_store(
+            sortcount.next_store_size(1 << args.prefix_log2),
+            skm.store_words(k))
+        drain(prefix)
+        t_dev = 0.0
+        rows_hw = 0
+        for packed_d, sep_d in chunks:
+            eff = cap if not rows_hw else min(
+                cap, sortcount.next_store_size(
+                    rows_hw + max(rows_hw // 4, 1 << 12)))
+            t0 = _time.perf_counter()
+            cols, rows = skm.skm_segpack_dense_step(
+                packed_d, sep_d, 0, 0, k=k, n=n, cap=cap, dense=False)
+            prefix, ndv = skm.skm_merge_dense_step(
+                cols, rows, prefix, eff=eff, pallas="on")
+            drain((prefix, ndv))
+            t_dev += _time.perf_counter() - t0
+            vals = np.asarray(ndv)
+            rows_hw = max(rows_hw, int(vals[2]))
+            if int(vals[3]) > eff or int(vals[1]) > prefix[0].shape[0]:
+                return None      # overflow: serial measure not valid
+        nd_used = int(np.asarray(ndv)[1])
+        # same finer finalize ladder as SkmCounter.finalize_device
+        # (shares its compiled variant)
+        m = prefix[0].shape[0]
+        need2 = max(nd_used, 1)
+        if need2 < m:
+            lo_ = 1 << max((need2 - 1).bit_length() - 3, 3)
+            m = min(m, -(-need2 // lo_) * lo_)
+        run_cols = tuple(c[:m] for c in prefix)
+        t0 = _time.perf_counter()
+        store, _ = skm.finalize_store(run_cols, k)
+        drain(store)
+        t_dev += _time.perf_counter() - t0
+    # valid windows in the measured span (reads fully inside it)
+    rl = args.read_len
+    n_valid = (len(chunks) * n // (rl + 1)) * (rl - k + 1)
+    return round(n_valid / t_dev)
 
 
 if __name__ == "__main__":

@@ -31,12 +31,20 @@ from .sort_counter import SortCounterConfig, SortKmerCounter
 @dataclasses.dataclass
 class SkmCounterConfig(SortCounterConfig):
     skm_slots: int = 96        # run-slot budget S per 512-window tile
-                               # (ladder-doubled on overflow, max TILE)
+                               # (ladder-doubled on overflow, max TILE;
+                               # slotted layouts only)
     segpack: str = "auto"      # segmentation + slot-pack front half:
-                               # "auto" (fused Pallas kernel on TPU when
-                               # the superstep is block-aligned, XLA
-                               # elsewhere), "pallas", "pallas_interpret"
+                               # "auto" (dense global-cursor Pallas
+                               # kernel on TPU when the superstep is
+                               # block-aligned, XLA elsewhere), "dense",
+                               # "dense_interpret", "pallas" (per-tile
+                               # slotted kernel), "pallas_interpret"
                                # (CPU tests), "xla"
+    skm_cap_frac: int = 8      # dense-kernel output capacity =
+                               # next_store_size(n // skm_cap_frac)
+                               # (measured true run mass ~ n/14 on 150 bp
+                               # reads — SKMPROFILE_r05.json; overflow
+                               # replays at doubled capacity)
 
     def __post_init__(self):
         super().__post_init__()
@@ -73,9 +81,35 @@ class SkmCounter(SortKmerCounter):
         super().__init__(config)
         self._S = config.skm_slots
         self._final_cache = None
+        self._rows_hw = 0          # verified high-water of dense rows_exact
+        self._rows_eff_min = 0     # floor for the dense merge eff ladder
         self.stats["slot_grow_events"] = 0
 
     # -- device steps --------------------------------------------------------
+
+    def _dense_cap(self, n: int) -> int:
+        """Dense-kernel output capacity for an n-window step: the
+        configured fraction of the window mass, raised to any overflow
+        floor (an overflow can demand more than n//frac; true row count
+        is bounded by n, so the floor is clamped there)."""
+        from ..ops import sortcount
+        want = max(n // self.cfg.skm_cap_frac, 1 << 12)
+        if self._rows_eff_min:
+            want = max(want, min(self._rows_eff_min, n))
+        return sortcount.next_store_size(want)
+
+    def _dense_eff(self, n: int, cap: int) -> int:
+        """Merge-mass ladder value for this dispatch: covers the
+        verified rows high-water plus headroom (run mass per superstep
+        is near-constant on steady streams — SKMPROFILE_r05.json), and
+        never shrinks below a prior overflow's requirement.  First
+        dispatch (no high-water yet) merges the full capacity."""
+        from ..ops import sortcount
+        if self._rows_hw == 0:
+            return cap
+        want = sortcount.next_store_size(
+            self._rows_hw + max(self._rows_hw // 4, 1 << 12))
+        return min(cap, max(want, self._rows_eff_min))
 
     def _dispatch(self, packed_d, sep_d, n: int, dense: bool,
                   wstart: int = 0, srow: int = 0):
@@ -88,12 +122,26 @@ class SkmCounter(SortKmerCounter):
 
         sp = cfg.segpack
         if sp == "auto":
-            # fused segmentation kernel on TPU; XLA on CPU
-            sp = "pallas" if mode == "on" else "xla"
+            # dense global-cursor kernel on TPU; XLA on CPU
+            sp = "dense" if mode == "on" else "xla"
+        if sp.startswith("dense") and \
+                pallas_skm.pick_block_rows_dense(n, cfg.k) is None:
+            sp = "xla"
         if sp.startswith("pallas") and \
                 pallas_skm.pick_block_rows(n, cfg.k, self._S) is None:
             sp = "xla"   # tail shapes with no whole-tile block split
-        if sp.startswith("pallas"):
+        eff = None
+        if sp.startswith("dense"):
+            # SPLIT dispatch (same rationale as the slotted kernel: one
+            # fused program stalls the remote XLA compile)
+            cap = self._dense_cap(n)
+            eff = self._dense_eff(n, cap)
+            cols, rows = skm.skm_segpack_dense_step(
+                packed_d, sep_d, wstart, srow, k=cfg.k, n=n, cap=cap,
+                dense=dense, interpret=(sp == "dense_interpret"))
+            new_prefix, ndv = skm.skm_merge_dense_step(
+                cols, rows, prefix_in, eff=eff, pallas=mode)
+        elif sp.startswith("pallas"):
             # SPLIT dispatch: the fused segmentation kernel lives in its
             # own program (fusing it with the sort/compact program
             # stalls the remote XLA compile — ops/skm.py docstring)
@@ -109,30 +157,57 @@ class SkmCounter(SortKmerCounter):
                 segpack="xla")
         self._inflight.append(
             (new_prefix, ndv,
-             (packed_d, sep_d, n, dense, wstart, srow, prefix_in)))
+             (packed_d, sep_d, n, dense, wstart, srow, eff, prefix_in)))
         self.prefix = new_prefix
         self._final_cache = None
 
+    def _replay_all(self, replays):
+        for replay in replays:
+            packed_d, sep_d, n, dense, wstart, srow = replay[:6]
+            self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
+            self._drain(keep=0)
+
     def _drain(self, keep: int = 0):
-        """Base drain plus the slot-overflow check: max_tile_runs > S
-        means the packer dropped run rows, so bump the S ladder and
-        replay this superstep and everything optimistically chained
-        after it (inputs stay live in the deque until verified)."""
+        """Base drain plus the run-row overflow checks.
+
+        Slotted layouts report max_tile_runs (4th scalar == the 3rd):
+        > S means the packer dropped rows -> bump the S ladder and
+        replay.  The dense layout reports [rows_exact, rows_used]:
+        rows_used > the eff this dispatch merged means rows were
+        sentinel-masked out of the merge -> raise the eff floor and
+        replay.  Replays cover everything optimistically chained after
+        the failed superstep (inputs stay live in the deque)."""
         while len(self._inflight) > keep:
             new_prefix, nd_h, replay = self._inflight.popleft()
-            nd_exact, nd, maxruns = (int(x) for x in np.asarray(nd_h))
+            vals = [int(x) for x in np.asarray(nd_h)]
+            nd_exact, nd = vals[0], vals[1]
+            eff_used = replay[6]
             cap_used = replay[-1][0].shape[0]
-            if maxruns > self._S:
+            if eff_used is None and len(vals) > 2 and vals[2] > self._S:
+                # slotted: slot-budget overflow
+                maxruns = vals[2]
                 replays = [replay] + [r for (_, _, r) in self._inflight]
                 self._inflight.clear()
                 while self._S < maxruns:
                     self._S = min(self._S * 2, skm.TILE)
                 self.stats["slot_grow_events"] += 1
                 self.prefix = replay[-1]   # pre-overflow prefix, still live
-                for packed_d, sep_d, n, dense, wstart, srow, _old in replays:
-                    self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
-                    self._drain(keep=0)
+                self._replay_all(replays)
                 continue
+            if eff_used is not None:
+                rows_exact, rows_used = vals[2], vals[3]
+                if rows_used > eff_used:
+                    from ..ops import sortcount
+                    replays = [replay] + [r for (_, _, r) in self._inflight]
+                    self._inflight.clear()
+                    self._rows_hw = max(self._rows_hw, rows_exact)
+                    self._rows_eff_min = sortcount.next_store_size(
+                        max(rows_used, 2 * eff_used))
+                    self.stats["slot_grow_events"] += 1
+                    self.prefix = replay[-1]
+                    self._replay_all(replays)
+                    continue
+                self._rows_hw = max(self._rows_hw, rows_exact)
             if nd <= cap_used:
                 delta = nd_exact - self.n_distinct
                 if delta > 0:
@@ -161,9 +236,7 @@ class SkmCounter(SortKmerCounter):
                 jnp.concatenate([col, sortcount.dead_fill((pad,), col.dtype)])
                 for col in old_prefix
             )
-            for packed_d, sep_d, n, dense, wstart, srow, _old in replays:
-                self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
-                self._drain(keep=0)
+            self._replay_all(replays)
 
     # -- output --------------------------------------------------------------
 
@@ -196,6 +269,16 @@ class SkmCounter(SortKmerCounter):
         out = skm.finalize_store(run_cols, self.cfg.k)
         self._final_cache = (tag, out)
         return out
+
+    def distinct_kmers(self) -> int:
+        """Exact finalized distinct k-mer count (ONE scalar fetch — the
+        run-store n_distinct counts RUNS, not k-mers; artifacts must
+        report this number, VERDICT r4 weak 5)."""
+        store, nd = self.finalize_device()
+        if nd == 0:
+            return 0
+        import jax.numpy as jnp
+        return int(jnp.sum(jnp.minimum(store[-1][:nd], 1)))
 
     def dump(self):
         """(keys (N, W) uint32 sorted, counts (N,) int64): the device

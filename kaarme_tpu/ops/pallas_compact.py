@@ -88,6 +88,22 @@ def _flat_roll1(v, S):
     return jnp.where(lane < 1, xp, xl)
 
 
+def _flat_roll_fwd(v, d, S, fill):
+    """y.flat[i] = v.flat[i-d] for static d > 0; head filled with
+    ``fill`` (the gather-from-behind mirror of _flat_roll_back)."""
+    ml, ms = d % _LANES, d // _LANES
+    y = v
+    if ml:
+        xl = pltpu.roll(y, ml, 1)               # y[s,l] = v[s, (l-ml)%128]
+        xp = pltpu.roll(xl, 1, 0)               # previous row's wrap
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+        y = jnp.where(lane < ml, xp, xl)
+    if ms:
+        y = pltpu.roll(y, ms, 0)
+    fpos, _ = _flat_pos(S)
+    return jnp.where(fpos < d, fill, y)
+
+
 def _flat_roll_back(v, d, S, fill):
     """y.flat[i] = v.flat[i+d] for static d > 0; tail filled with `fill`.
 
@@ -189,7 +205,8 @@ def _row_at_dyn(x, row, S1, fill_dtype):
     return jax.lax.bitcast_convert_type(picked, fill_dtype)
 
 
-def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask):
+def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask,
+                full_sum: bool = False):
     """Shared fused segment-sum + alive compaction over one (S, 128)
     block of SORTED rows — the core both the compact kernel and the
     merge kernel (ops/pallas_merge.py) run after producing their sorted
@@ -206,6 +223,17 @@ def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask):
       acount: scalar int32 alive-row count;
       carry_vals: uint32 scalars for carries [0..W+2] from this block's
              final (unlagged) row.
+
+    ``full_sum=True`` replaces the c_last trick with a TRUE clamped
+    segmented inclusive scan (log-shift in VMEM, cross-block carry of
+    the running segment sum in carry[W]): exact for ANY number of
+    non-unit-count rows per segment and any segment length — the
+    modular clamp commutes with addition, so clamping every step keeps
+    intermediates < 2^22 while preserving both output contracts
+    (sortcount._clamp_count).  Finalize expansion needs this: one
+    clamped row per distinct run containing a k-mer makes segment mass
+    unbounded (the XLA formulation is sortcount.compact(clamped=True),
+    measured 503 ms of scan+partition at 50M rows vs one pass here).
     """
     n = S * _LANES
     fpos, _lane = _flat_pos(S)
@@ -234,11 +262,32 @@ def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask):
         return jnp.where(is0, c0, _flat_roll1(v, S))
 
     dk = [lag(key[w], carry[w]) for w in range(W)]
-    dcnt = lag(cnt, carry[W])
     dsent = lag(sent, carry[W + 1].astype(jnp.int32))
     dstart = lag(segstart, carry[W + 2].astype(jnp.int32))
     alive = first * (1 - dsent)
-    total = _clamp_u32(dcnt + (gpos - 1 - dstart).astype(jnp.uint32))
+    if full_sum:
+        # clamped segmented inclusive scan: val[i] += val[i-d] when row
+        # i-d is in my segment (gpos-d >= segstart), clamp each step
+        val = _clamp_u32(cnt.astype(jnp.uint32))
+        d = 1
+        while d < n:
+            prev = _flat_roll_fwd(val, d, S, jnp.uint32(0))
+            ok = jnp.where(gpos - d >= segstart, jnp.uint32(1),
+                           jnp.uint32(0))
+            ok = ok * jnp.where(fpos >= d, jnp.uint32(1), jnp.uint32(0))
+            val = _clamp_u32(val + ok * prev)
+            d *= 2
+        # rows of the block's FIRST segment (started before this block)
+        # inherit the carried running sum
+        inherit = jnp.where(segstart < i * n, jnp.uint32(1), jnp.uint32(0))
+        val = _clamp_u32(val + inherit * carry[W])
+        cnt_for_carry = val            # carry[W] = running segment sum
+        dcnt = lag(val, carry[W])
+        total = _clamp_u32(dcnt)
+    else:
+        cnt_for_carry = cnt
+        dcnt = lag(cnt, carry[W])
+        total = _clamp_u32(dcnt + (gpos - 1 - dstart).astype(jnp.uint32))
     ocnt = jnp.where(alive == 1, total, jnp.uint32(0))
 
     # ---- monotone log-shift compaction of alive rows ----
@@ -267,7 +316,7 @@ def segsum_rows(key, cnt, i, S: int, W: int, carry, cmask):
         return jnp.sum(xi * last1).astype(jnp.uint32)
 
     carry_vals = [_last_u32(key[w]) for w in range(W)] + [
-        _last_u32(cnt), _last_u32(sent), _last_u32(segstart)]
+        _last_u32(cnt_for_carry), _last_u32(sent), _last_u32(segstart)]
     return cur, av, jnp.sum(alive), carry_vals
 
 
@@ -297,7 +346,7 @@ def dense_stage(cur, av, acount, r, residual, S: int, W: int):
 
 
 def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
-                    dense: bool = False):
+                    dense: bool = False, full_sum: bool = False):
     """Build the kernel body.  Refs:
       ins:  s_0..s_{W-1} [, cnt_in]   each (S, 128) blocks
       outs: o_0..o_{W-1}, o_cnt (ANY/HBM, full arrays), nd (SMEM (2,))
@@ -363,7 +412,8 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
             cnt = in_refs[W][...]
 
         cur, av, acount, carry_vals = segsum_rows(key, cnt, i, S, W,
-                                                  carry, cmask)
+                                                  carry, cmask,
+                                                  full_sum=full_sum)
         cursor = carry[W + 3].astype(jnp.int32)
 
         if dense:
@@ -407,10 +457,10 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
 
 
 @partial(jax.jit, static_argnames=("embedded", "ebits", "block_rows",
-                                   "interpret", "dense"))
+                                   "interpret", "dense", "full_sum"))
 def segsum_compact(cols, *, embedded: bool, ebits: int,
                    block_rows: int = _BLOCK_ROWS, interpret: bool = False,
-                   dense: bool = False):
+                   dense: bool = False, full_sum: bool = False):
     """Fused segment-sum + compaction over sorted store columns.
 
     cols: tuple of W uint32 key columns (count embedded in the last
@@ -433,7 +483,9 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
     if N % (S * _LANES):
         raise ValueError(f"N={N} not a multiple of {S * _LANES}")
     nblocks = N // (S * _LANES)
-    kern = _compact_kernel(W, S, embedded, ebits, dense)
+    if full_sum and embedded:
+        raise ValueError("full_sum needs a separate count column")
+    kern = _compact_kernel(W, S, embedded, ebits, dense, full_sum)
 
     nin = len(cols)
     P = _pow2(W + 1)

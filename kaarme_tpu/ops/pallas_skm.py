@@ -51,7 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_compact import (_LANES, _cummax_flat, _cumsum_flat_incl,
-                             _flat_pos, _flat_roll1, _flat_roll_back)
+                             _flat_pos, _flat_roll1, _flat_roll_back,
+                             _row_at_dyn, _shift_fwd_dyn, _pow2)
 
 SENT = np.uint32(0xFFFFFFFF)
 _BLOCK_ROWS = 256
@@ -97,10 +98,123 @@ def _slide_or(x, w: int, S2: int):
     return y
 
 
-def _skm_kernel(k: int, S_rows: int, S_slots: int, Wc: int):
-    S2 = 2 * S_rows
+def _halo_rows(S_rows: int, k: int) -> int:
+    """Halo rows appended to the compute domain: covers the element
+    lookahead (content words + minimizer window + ell probe), rounded
+    to whole 8-sublane groups.  Computing on S_rows + H rows instead of
+    2*S_rows nearly halves the front-half VPU work (the lookahead is
+    ~150 elements at k=51 vs a 32768-element block)."""
+    Wc = (LMAX + k - 1 + 15) // 16
+    lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
+    if S_rows <= 8:
+        return S_rows                       # full next block (old shape)
+    H = max(8, -(-lookahead // _LANES // 8) * 8)
+    while S_rows % H:
+        H += 8
+    return min(H, S_rows)
+
+
+def _seg_rows_block(main_ref, halo_ref, i, carry, k: int, S_rows: int,
+                    Wc: int):
+    """Shared segmentation front half on one block (the slotted and the
+    dense kernels differ only in how they compact the start rows).
+
+    ``halo_ref`` holds the next _halo_rows(S_rows, k) rows of the
+    stream (a whole block in the legacy shape).  Returns (b, vld, cur):
+    run-start flags and window validity (int32 {0,1}) on the main block
+    domain, plus the Wc+1 value planes (span-masked content words +
+    meta; dead runs all-ones).  Reads and writes carry[0..2] =
+    [prev_minv, prev_valid, last_true_start].
+    """
+    H = halo_ref.shape[0]
+    S2 = S_rows + H
     n_blk = S_rows * _LANES
     w_min = k - M + 1
+
+    c2 = jnp.concatenate([main_ref[...], halo_ref[...]], axis=0)
+    fpos2, _ = _flat_pos(S2)
+    gpos2 = i * n_blk + fpos2
+
+    # raw 16-base big-endian words at every position
+    raw = jnp.zeros((S2, _LANES), jnp.uint32)
+    for p in range(M):
+        code = _shift_flat2(c2, p, S2) & jnp.uint32(3)
+        raw = raw | (code << jnp.uint32(2 * (M - 1 - p)))
+
+    # window validity: any invalid base in [i, i+k)
+    invb = (c2 >> jnp.uint32(2)) & jnp.uint32(1)
+    invw = _slide_or(invb, k, S2)
+    valid = (jnp.uint32(1) - invw).astype(jnp.int32)
+
+    # minimizer per window; invalid windows forced to +inf.
+    # Mosaic has no unsigned vector min (arith.minui fails to
+    # legalize) — flip the sign bit so uint32 order == int32 order
+    # and take the min in signed space (only EQUALITY of minimizers
+    # is consumed downstream, so the biased domain never leaks).
+    raws = jax.lax.bitcast_convert_type(
+        raw ^ jnp.uint32(0x80000000), jnp.int32)
+    minv = _slide_min(raws, w_min, S2) if w_min > 1 else raws
+    minv = jnp.where(invw > 0, jnp.int32(0x7FFFFFFF), minv)
+
+    # true run starts: minimizer/validity change vs previous window
+    pm = jnp.where(fpos2 == 0, carry[0].astype(jnp.int32),
+                   _flat_roll1(minv, S2))
+    pv = jnp.where(fpos2 == 0, carry[1].astype(jnp.int32),
+                   _flat_roll1(valid, S2))
+    true_b = jnp.where((minv != pm) | (valid != pv) | (gpos2 == 0),
+                       jnp.int32(1), jnp.int32(0))
+
+    # LMAX cap force anchored at the last TRUE start (global pos)
+    cand = jnp.where(true_b == 1, gpos2, jnp.int32(-1))
+    lts = jnp.maximum(_cummax_flat(cand, S2, jnp.int32(-1)),
+                      carry[2].astype(jnp.int32))
+    pos1 = gpos2 - lts
+    force = jnp.where(
+        (valid == 1) & (pos1 > 0) & ((pos1 & jnp.int32(LMAX - 1)) == 0),
+        jnp.int32(1), jnp.int32(0))
+    b2 = jnp.maximum(true_b, force)
+
+    # ell: distance to the next start within [i+1, i+LMAX]
+    x = jnp.where(b2 == 1, fpos2, jnp.int32(1 << 30))
+    nxt = _slide_min(_shift_flat2(x, 1, S2), LMAX, S2)
+    ell2 = jnp.clip(nxt - fpos2, 1, LMAX)
+
+    # ---- slice to the main block domain ----
+    sl = lambda v: jax.lax.slice(v, (0, 0), (S_rows, _LANES))
+    b = sl(b2)
+    ell = sl(ell2)
+    vld = sl(valid)
+
+    # carries for the next block (window B-1's unsliced values)
+    lastm = jnp.where(fpos2 == n_blk - 1, jnp.int32(1), jnp.int32(0))
+
+    def _at_last(v):
+        vi = jax.lax.bitcast_convert_type(v.astype(jnp.uint32), jnp.int32)
+        return jnp.sum(vi * lastm).astype(jnp.uint32)
+
+    carry[0] = _at_last(minv)
+    carry[1] = _at_last(valid.astype(jnp.uint32))
+    carry[2] = _at_last(lts.astype(jnp.uint32))
+
+    # ---- run-row values at start positions ----
+    dead = jnp.uint32(0) - (jnp.int32(1) - vld).astype(jnp.uint32)
+    span = ell + jnp.int32(k - 1)
+    cur = []
+    for j in range(Wc):
+        cw = sl(_shift_flat2(raw, M * j, S2))
+        nb = jnp.clip(span - 16 * j, 0, 16)
+        sh = jnp.clip(32 - 2 * nb, 0, 30).astype(jnp.uint32)
+        mask = (jnp.uint32(0xFFFFFFFF) << sh) \
+            * jnp.minimum(nb, 1).astype(jnp.uint32)
+        cur.append((cw & mask) | dead)
+    meta = (((ell - 1).astype(jnp.uint32) << jnp.uint32(EBITS))
+            | jnp.uint32(1)) | dead
+    cur.append(meta)
+    return b, vld, cur
+
+
+def _skm_kernel(k: int, S_rows: int, S_slots: int, Wc: int):
+    n_blk = S_rows * _LANES
     # tiles per block = S_rows*128/512 = S_rows//4; out elems = tiles*S_slots
     out_rows = ((S_rows // 4) * S_slots) // _LANES
 
@@ -119,71 +233,9 @@ def _skm_kernel(k: int, S_rows: int, S_slots: int, Wc: int):
             carry[2] = jnp.uint32(0)       # validity-change start at 0
             carry[3] = jnp.uint32(0)       # running max-runs-per-tile
 
-        c2 = jnp.concatenate([main_ref[...], next_ref[...]], axis=0)
-        fpos2, _ = _flat_pos(S2)
-        gpos2 = i * n_blk + fpos2
-
-        # raw 16-base big-endian words at every position
-        raw = jnp.zeros((S2, _LANES), jnp.uint32)
-        for p in range(M):
-            code = _shift_flat2(c2, p, S2) & jnp.uint32(3)
-            raw = raw | (code << jnp.uint32(2 * (M - 1 - p)))
-
-        # window validity: any invalid base in [i, i+k)
-        invb = (c2 >> jnp.uint32(2)) & jnp.uint32(1)
-        invw = _slide_or(invb, k, S2)
-        valid = (jnp.uint32(1) - invw).astype(jnp.int32)
-
-        # minimizer per window; invalid windows forced to +inf.
-        # Mosaic has no unsigned vector min (arith.minui fails to
-        # legalize) — flip the sign bit so uint32 order == int32 order
-        # and take the min in signed space (only EQUALITY of minimizers
-        # is consumed downstream, so the biased domain never leaks).
-        raws = jax.lax.bitcast_convert_type(
-            raw ^ jnp.uint32(0x80000000), jnp.int32)
-        minv = _slide_min(raws, w_min, S2) if w_min > 1 else raws
-        minv = jnp.where(invw > 0, jnp.int32(0x7FFFFFFF), minv)
-
-        # true run starts: minimizer/validity change vs previous window
-        pm = jnp.where(fpos2 == 0, carry[0].astype(jnp.int32),
-                       _flat_roll1(minv, S2))
-        pv = jnp.where(fpos2 == 0, carry[1].astype(jnp.int32),
-                       _flat_roll1(valid, S2))
-        true_b = jnp.where((minv != pm) | (valid != pv) | (gpos2 == 0),
-                           jnp.int32(1), jnp.int32(0))
-
-        # LMAX cap force anchored at the last TRUE start (global pos)
-        cand = jnp.where(true_b == 1, gpos2, jnp.int32(-1))
-        lts = jnp.maximum(_cummax_flat(cand, S2, jnp.int32(-1)),
-                          carry[2].astype(jnp.int32))
-        pos1 = gpos2 - lts
-        force = jnp.where(
-            (valid == 1) & (pos1 > 0) & ((pos1 & jnp.int32(LMAX - 1)) == 0),
-            jnp.int32(1), jnp.int32(0))
-        b2 = jnp.maximum(true_b, force)
-
-        # ell: distance to the next start within [i+1, i+LMAX]
-        x = jnp.where(b2 == 1, fpos2, jnp.int32(1 << 30))
-        nxt = _slide_min(_shift_flat2(x, 1, S2), LMAX, S2)
-        ell2 = jnp.clip(nxt - fpos2, 1, LMAX)
-
-        # ---- slice to the main block domain ----
-        sl = lambda v: jax.lax.slice(v, (0, 0), (S_rows, _LANES))
-        b = sl(b2)
-        ell = sl(ell2)
-        vld = sl(valid)
+        b, vld, cur = _seg_rows_block(main_ref, next_ref, i, carry,
+                                      k, S_rows, Wc)
         fpos, _ = _flat_pos(S_rows)
-
-        # carries for the next block (window B-1's unsliced values)
-        lastm = jnp.where(fpos2 == n_blk - 1, jnp.int32(1), jnp.int32(0))
-
-        def _at_last(v):
-            vi = jax.lax.bitcast_convert_type(v.astype(jnp.uint32), jnp.int32)
-            return jnp.sum(vi * lastm).astype(jnp.uint32)
-
-        carry[0] = _at_last(minv)
-        carry[1] = _at_last(valid.astype(jnp.uint32))
-        carry[2] = _at_last(lts.astype(jnp.uint32))
 
         # ---- per-tile slot ordinals (tiles = 512 windows, in-block) ----
         C = _cumsum_flat_incl(b, S_rows)            # inclusive starts count
@@ -197,21 +249,6 @@ def _skm_kernel(k: int, S_rows: int, S_slots: int, Wc: int):
         mr = jnp.maximum(jnp.max(runs_t), carry[3].astype(jnp.int32))
         carry[3] = mr.astype(jnp.uint32)
         mr_ref[...] = jnp.broadcast_to(mr, (8, _LANES))
-
-        # ---- run-row values at start positions ----
-        dead = jnp.uint32(0) - (jnp.int32(1) - vld).astype(jnp.uint32)
-        span = ell + jnp.int32(k - 1)
-        cur = []
-        for j in range(Wc):
-            cw = sl(_shift_flat2(raw, M * j, S2))
-            nb = jnp.clip(span - 16 * j, 0, 16)
-            sh = jnp.clip(32 - 2 * nb, 0, 30).astype(jnp.uint32)
-            mask = (jnp.uint32(0xFFFFFFFF) << sh) \
-                * jnp.minimum(nb, 1).astype(jnp.uint32)
-            cur.append((cw & mask) | dead)
-        meta = (((ell - 1).astype(jnp.uint32) << jnp.uint32(EBITS))
-                | jnp.uint32(1)) | dead
-        cur.append(meta)
 
         # ---- two-stage monotone log-shift compaction ----
         # A single shift to tile*S_slots+slot is NOT monotone across
@@ -302,9 +339,10 @@ def run_rows_slotted_pallas(codes, *, k: int, n: int, S: int,
         raise ValueError(f"n={n} not a multiple of {blk}")
     if S % 2 or S > 512:
         raise ValueError("S must be even and <= 512")
+    H = _halo_rows(block_rows, k)
     lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
-    if lookahead > blk:
-        raise ValueError(f"k={k} lookahead exceeds one block")
+    if lookahead > H * _LANES:
+        raise ValueError(f"k={k} lookahead exceeds the halo")
     nb = n // blk
     need = (nb + 1) * blk
     pad = need - codes.shape[0]
@@ -316,6 +354,7 @@ def run_rows_slotted_pallas(codes, *, k: int, n: int, S: int,
 
     kernel, out_rows = _skm_kernel(k, block_rows, S, Wc)
     grid = (nb,)
+    hstep = block_rows // H
     outs = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((nb * out_rows, _LANES), jnp.uint32)
@@ -324,7 +363,7 @@ def run_rows_slotted_pallas(codes, *, k: int, n: int, S: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((block_rows, _LANES), lambda i: (i + 1, 0)),
+            pl.BlockSpec((H, _LANES), lambda i, _h=hstep: ((i + 1) * _h, 0)),
         ],
         out_specs=[pl.BlockSpec((out_rows, _LANES), lambda i: (i, 0))
                    for _ in range(Wc + 1)]
@@ -335,3 +374,196 @@ def run_rows_slotted_pallas(codes, *, k: int, n: int, S: int,
     cols = tuple(o.reshape(-1) for o in outs[:-1])
     maxruns = outs[-1][0, 0]
     return cols, maxruns
+
+
+# ---------------------------------------------------------------------------
+# Dense variant: global-cursor DMA output, no per-tile slot budget
+# ---------------------------------------------------------------------------
+# The slotted layout pays S/512 of the window mass in sorted rows per
+# superstep regardless of how many runs actually start (measured on the
+# bench workload: 37% live at S=96 — SKMPROFILE_r05.json), and dead
+# (invalid) runs still occupy slots.  The dense kernel front-packs ALL
+# live start rows of a block with ONE monotone log-shift (the move
+# distance "dead rows before me" is nondecreasing, so the tile dance
+# above is unnecessary) and appends them at a global row cursor with
+# the pallas_compact residual-row machinery.  Output capacity is a
+# ladder value the driver grows on overflow (reported through the rows
+# vector) — the run-domain analogue of store grow-and-replay.
+
+
+def _skm_dense_kernel(k: int, S_rows: int, Wc: int, cap_rows: int):
+    n_blk = S_rows * _LANES
+    P = _pow2(Wc + 1)
+
+    def kernel(main_ref, next_ref, out_ref, nd_ref, carry, vout,
+               residual, sem):
+        # carry SMEM (6,): [prev_minv, prev_valid, last_true_start,
+        #                   row_cursor, residual_count, spare]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            carry[0] = jnp.uint32(0)
+            carry[1] = jnp.uint32(2)       # neither 0 nor 1: forces a
+            carry[2] = jnp.uint32(0)       # validity-change start at 0
+            carry[3] = jnp.uint32(0)       # output row cursor
+            carry[4] = jnp.uint32(0)       # residual element count
+            nd_ref[0] = jnp.int32(0)
+            nd_ref[1] = jnp.int32(0)
+            residual[...] = jnp.full((1, (Wc + 1) * _LANES), SENT,
+                                     jnp.uint32)
+
+        b, vld, cur = _seg_rows_block(main_ref, next_ref, i, carry,
+                                      k, S_rows, Wc)
+
+        # live starts only — dead (invalid) runs are dropped entirely
+        av = b * vld
+        acount = jnp.sum(av)
+        cur = [jnp.where(av == 1, c, SENT) for c in cur]
+
+        # ONE monotone log-shift front-pack (dist = dead rows before me)
+        dist = _cumsum_flat_incl(1 - av, S_rows) - (1 - av)
+        dist = dist * av
+        d = 1
+        while d < n_blk:
+            mv = av * jnp.where((dist & d) != 0, 1, 0)
+            take = _flat_roll_back(mv, d, S_rows, jnp.int32(0))
+            cur = [jnp.where(take == 1,
+                             _flat_roll_back(c, d, S_rows, SENT), c)
+                   for c in cur]
+            dist = jnp.where(
+                take == 1,
+                _flat_roll_back(dist, d, S_rows, jnp.int32(0)), dist)
+            av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
+            d *= 2
+
+        # dense staging: shift by the carried residual count, splice the
+        # residual row, keep the new partial last row in VMEM
+        # (pallas_compact.dense_stage with all-sentinel fill)
+        r = carry[4]
+        total_el = r.astype(jnp.int32) + acount
+        full_rows = total_el // _LANES
+        new_r = total_el % _LANES
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        staged_all, res_all = [], []
+        for w in range(Wc + 1):
+            clean = jnp.where(av == 1, cur[w], SENT)
+            res_w = residual[:, w * _LANES:(w + 1) * _LANES]
+            staged = _shift_fwd_dyn(clean, r, S_rows, SENT, res_w)
+            staged_all.append(staged)
+            picked = _row_at_dyn(staged, full_rows, S_rows + 1, jnp.uint32)
+            res_all.append(jnp.where(lane1 < new_r, picked, SENT))
+        residual[...] = jnp.concatenate(res_all, axis=1)
+
+        cursor = carry[3].astype(jnp.int32)
+        # overflow clamp: blocks past capacity write into the tail pad
+        # (the driver detects rows_used > cap and replays larger)
+        cursor_eff = jnp.minimum(cursor, jnp.int32(cap_rows))
+        for _ in range(P - (Wc + 1)):
+            staged_all.append(jnp.full_like(staged_all[0], SENT))
+        vout[...] = jnp.stack(staged_all, axis=1)
+        out_dma = pltpu.make_async_copy(
+            vout, out_ref.at[pl.ds(cursor_eff, S_rows + 1)], sem)
+        out_dma.start()
+        out_dma.wait()
+
+        carry[3] = (cursor + full_rows).astype(jnp.uint32)
+        carry[4] = new_r.astype(jnp.uint32)
+        nd_ref[0] = nd_ref[0] + acount
+        # rows_used counts the partial residual row only when non-empty
+        nd_ref[1] = (cursor + full_rows + jnp.minimum(new_r, 1)) * _LANES
+
+    return kernel
+
+
+def pick_block_rows_dense(n: int, k: int) -> "int | None":
+    """Largest supported dense-kernel block size (divides n, covers the
+    lookahead) — no slot-budget alignment constraint."""
+    Wc = (LMAX + k - 1 + 15) // 16
+    lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
+    for br in (256, 128, 64, 32, 16, 8, 4):
+        if n % (br * _LANES) == 0 and lookahead <= br * _LANES:
+            return br
+    return None
+
+
+@partial(jax.jit, static_argnames=("k", "n", "cap", "block_rows",
+                                   "interpret"))
+def run_rows_dense_pallas(codes, *, k: int, n: int, cap: int,
+                          block_rows: "int | None" = None,
+                          interpret: bool = False):
+    """codes (uint32 [>= n + lookahead], bit0-1 = 2-bit code, bit 2 =
+    invalid) -> (dense run-row columns: Wc content + meta, each uint32
+    (cap,), rows int32 (2,) = [rows_exact, rows_used]).
+
+    The first ``rows_used`` elements are the live run rows in stream
+    order (the final partial 128-lane row sentinel-padded); everything
+    at or beyond rows_used is sentinel-masked.  rows_used > cap means
+    the output overflowed the capacity: the columns are garbage and the
+    caller must replay with a larger ``cap`` (same contract as store
+    grow-and-replay).  Row multiset (at fitting cap) is bit-identical
+    to the live rows of skm.run_rows + skm.pack_slots.
+    """
+    if k < M:
+        raise ValueError("skm kernel requires k >= 16")
+    if cap % _LANES:
+        raise ValueError(f"cap={cap} must be a multiple of {_LANES}")
+    Wc = (LMAX + k - 1 + 15) // 16
+    if block_rows is None:
+        block_rows = pick_block_rows_dense(n, k)
+        if block_rows is None:
+            raise ValueError(f"n={n} has no supported block size")
+    blk = block_rows * _LANES
+    if n % blk:
+        raise ValueError(f"n={n} not a multiple of {blk}")
+    H = _halo_rows(block_rows, k)
+    lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
+    if lookahead > H * _LANES:
+        raise ValueError(f"k={k} lookahead exceeds the halo")
+    nb = n // blk
+    need = (nb + 1) * blk
+    pad = need - codes.shape[0]
+    if pad < 0:
+        codes = codes[:need]
+    else:
+        codes = jnp.concatenate([codes, jnp.full((pad,), jnp.uint32(4))])
+    c2d = codes.reshape(-1, _LANES)
+
+    cap_rows = cap // _LANES
+    P = _pow2(Wc + 1)
+    kernel = _skm_dense_kernel(k, block_rows, Wc, cap_rows)
+    hstep = block_rows // H
+    out, ndv = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + block_rows + 1, P, _LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((H, _LANES), lambda i, _h=hstep: ((i + 1) * _h, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.SMEM((6,), jnp.uint32),
+            pltpu.VMEM((block_rows + 1, P, _LANES), jnp.uint32),
+            pltpu.VMEM((1, (Wc + 1) * _LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(c2d, c2d)
+    # rows beyond the final cursor were never written (uninitialized):
+    # sentinel-mask everything at or beyond rows_used (cf.
+    # sortcount._pallas_finish)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    junk = jax.lax.bitcast_convert_type((pos - ndv[1]) >> 31,
+                                        jnp.uint32) ^ SENT
+    cols = tuple(out[:cap_rows, w, :].reshape(-1) | junk
+                 for w in range(Wc + 1))
+    return cols, ndv

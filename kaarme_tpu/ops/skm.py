@@ -332,9 +332,13 @@ def skm_superstep(packed, sep, prefix, wstart=0, srow=0, *,
     return _merge_slotted(slotted, maxruns, prefix, pallas)
 
 
-def _merge_slotted(slotted, maxruns, prefix, pallas: str):
+def _merge_slotted(slotted, extra, prefix, pallas: str):
     """Shared superstep tail: merge slotted run rows into the store
-    (sort + embedded-count compaction at ebits=26)."""
+    (sort + embedded-count compaction at ebits=26).  ``extra`` is an
+    int32 scalar or vector of verification scalars appended after
+    [nd_exact, nd_used] (the slotted path passes max_tile_runs; the
+    dense path passes [rows_exact, rows_used])."""
+    extra = jnp.atleast_1d(extra).astype(jnp.int32)
     w = len(prefix) - 1
     cap = prefix[0].shape[0]
     merge_cols = [jnp.concatenate([prefix[i], slotted[i]])
@@ -343,13 +347,13 @@ def _merge_slotted(slotted, maxruns, prefix, pallas: str):
         [prefix[w - 1] | prefix[-1].astype(jnp.uint32), slotted[w - 1]]))
     if pallas == "off":
         store, nd = sortcount._compact_embedded(merge_cols, EBITS)
-        return tuple(c[:cap] for c in store), jnp.stack(
-            [nd, nd, maxruns.astype(nd.dtype)])
+        return tuple(c[:cap] for c in store), jnp.concatenate(
+            [jnp.stack([nd, nd]).astype(jnp.int32), extra])
     s = jax.lax.sort(tuple(merge_cols), num_keys=w)
     s = _B(s)
     out, ndv = sortcount._pallas_finish(s, cap, True, EBITS,
                                         pallas == "interpret")
-    return out, jnp.concatenate([ndv, maxruns.astype(ndv.dtype)[None]])
+    return out, jnp.concatenate([ndv.astype(jnp.int32), extra])
 
 
 @partial(jax.jit, static_argnames=("k", "n", "S", "dense", "interpret"))
@@ -379,6 +383,46 @@ def skm_merge_step(slotted, maxruns, prefix, *, pallas: str = "off"):
     """Standalone dispatch: merge slotted run rows into the run store
     (the other half of the split superstep — see skm_segpack_step)."""
     return _merge_slotted(slotted, maxruns, prefix, pallas)
+
+
+@partial(jax.jit, static_argnames=("k", "n", "cap", "dense", "interpret"))
+def skm_segpack_dense_step(packed, sep, wstart=0, srow=0, *, k: int,
+                           n: int, cap: int, dense: bool = False,
+                           interpret: bool = False):
+    """Standalone dispatch: transfer chunk -> DENSE run rows via the
+    global-cursor kernel (ops/pallas_skm.py run_rows_dense_pallas).
+
+    Returns (cols (cap,) each, rows int32 (2,) = [rows_exact,
+    rows_used]).  rows_used > cap means the capacity overflowed and the
+    caller must replay with a larger cap (the columns are garbage).
+    Unlike the slotted layout there is no per-tile slot budget: every
+    live run row is emitted, so the sort mass downstream is the TRUE
+    run mass (measured 37% of the S=96 slotted mass on the bench
+    workload — SKMPROFILE_r05.json)."""
+    from . import pallas_skm
+
+    packed, sep = sortcount._chunk_views(packed, sep, wstart, srow,
+                                         k, n, dense)
+    L = n + k - 1
+    codes = sortcount.unpack_codes(packed, sep, L) if dense \
+        else sortcount.unpack_codes_sparse(packed, sep, L)
+    return pallas_skm.run_rows_dense_pallas(codes, k=k, n=n, cap=cap,
+                                            interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("eff", "pallas"))
+def skm_merge_dense_step(slotted, rows, prefix, *, eff: int,
+                         pallas: str = "off"):
+    """Merge the first ``eff`` dense run rows into the run store.
+
+    ``eff`` (a ladder value <= cap) decouples the kernel's fixed output
+    capacity from the merge mass: rows at or beyond rows_used are
+    sentinel-masked by the kernel wrapper, so slicing to any eff >=
+    rows_used is exact.  The caller must verify rows_used <= eff from
+    the returned vector [nd_exact, nd_used, rows_exact, rows_used] and
+    replay with a larger eff otherwise."""
+    sl = tuple(c[:eff] for c in slotted)
+    return _merge_slotted(sl, rows, prefix, pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -465,19 +509,21 @@ def expand_chunk(run_cols, *, k: int):
     return keys + (counts,)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _expand_compact(run_cols, *, k: int):
+@partial(jax.jit, static_argnames=("k", "pallas"))
+def _expand_compact(run_cols, *, k: int, pallas: str = "off"):
     """Single-shot finalize: expand every run row and segment-reduce.
     The general compact: window counts sum MULTIPLE non-unit run
     counts, so the embedded single-non-unit trick does not apply at
-    this stage.  clamped=True: one row per distinct run containing a
-    k-mer means rows-per-segment is unbounded — the clamped segmented
-    scan stays exact past 2^32 true segment mass (ADVICE r3)."""
-    return sortcount.compact(expand_chunk(run_cols, k=k), clamped=True)
+    this stage.  The clamped segmented sum (XLA scan or the Pallas
+    full_sum kernel) stays exact for unbounded rows per segment: one
+    row per distinct run containing a k-mer means a low-complexity
+    k-mer can exceed 2^32 true mass (ADVICE r3)."""
+    return sortcount.compact_clamped(expand_chunk(run_cols, k=k), pallas)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
-def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int):
+@partial(jax.jit, static_argnames=("k", "chunk", "pallas"))
+def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int,
+                     pallas: str = "off"):
     """Chunked finalize step: expand ``chunk`` run rows at a traced
     offset of the DEVICE-resident store and merge into acc (one compile
     per (cap, chunk) — the offset is dynamic)."""
@@ -486,12 +532,26 @@ def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int):
     rows = expand_chunk(part, k=k)
     cap = acc[0].shape[0]
     cols = tuple(jnp.concatenate([a, r]) for a, r in zip(acc, rows))
-    store, nd = sortcount.compact(cols, clamped=True)
+    store, nd = sortcount.compact_clamped(cols, pallas)
     return tuple(c[:cap] for c in store), nd
 
 
+def _resolve_finalize_pallas(run_cols, pallas: str) -> str:
+    """'auto' -> the fused Pallas tail when the store lives on a TPU
+    (same single-place routing contract as resolve_compactor)."""
+    if pallas != "auto":
+        return pallas
+    c0 = run_cols[0]
+    if hasattr(c0, "devices"):
+        plat = next(iter(c0.devices())).platform
+    else:
+        plat = jax.default_backend()
+    return "on" if plat != "cpu" else "off"
+
+
 def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
-                   single_shot_rows: "int | None" = None):
+                   single_shot_rows: "int | None" = None,
+                   pallas: str = "auto"):
     """DEVICE-side finalize: expand the distinct run store (device or
     NumPy columns: Wc content + meta-key + count) and segment-reduce
     into a sorted k-mer store ON DEVICE.  Returns (store columns —
@@ -526,9 +586,10 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
             np.int32 if i == len(run_store) - 1 else np.uint32))
         if not hasattr(c, "devices") else c
         for i, c in enumerate(run_store))
+    pmode = _resolve_finalize_pallas(run_cols, pallas)
 
     if R * LMAX <= single_shot_rows:
-        store, nd_h = _expand_compact(run_cols, k=k)
+        store, nd_h = _expand_compact(run_cols, k=k, pallas=pmode)
         return store, int(nd_h)
 
     # chunked path: pad the store to chunk granularity with sentinel
@@ -546,7 +607,8 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
     for s0 in range(0, R, chunk_rows):
         while True:
             new_acc, nd_h = _expand_merge_at(acc, run_cols, s0,
-                                             k=k, chunk=chunk_rows)
+                                             k=k, chunk=chunk_rows,
+                                             pallas=pmode)
             nd = int(nd_h)
             if nd <= acc[0].shape[0]:
                 acc = new_acc
@@ -562,10 +624,12 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
 
 
 def finalize_counts(run_store, k: int, chunk_rows: int = 1 << 20,
-                    single_shot_rows: "int | None" = None):
+                    single_shot_rows: "int | None" = None,
+                    pallas: str = "auto"):
     """Host-side finalize: ``finalize_store`` + one device->host fetch.
     Returns (keys (N, W) uint32 sorted, counts (N,) int64)."""
-    store, nd = finalize_store(run_store, k, chunk_rows, single_shot_rows)
+    store, nd = finalize_store(run_store, k, chunk_rows, single_shot_rows,
+                               pallas)
     if nd == 0:
         return (np.zeros((0, words_per_kmer(k)), np.uint32),
                 np.zeros((0,), np.int64))

@@ -505,6 +505,27 @@ def compact(store, clamped: bool = False):
     return tuple(out_keys) + (out_cnt,), n_distinct
 
 
+def compact_clamped(store, pallas: str = "off"):
+    """``compact(clamped=True)`` with an optional fused Pallas tail.
+
+    pallas="off": the XLA path (sort + clamped log-shift segmented scan
+    + stable partition; output densely packed, nd exact).  pallas="on"/
+    "interpret": ONE kernel pass replaces the scan and the partition
+    (measured 503 ms of XLA scan+partition at 50M rows on the bench
+    finalize).  The Pallas output intersperses up to 127 sentinel pad
+    rows per block (count 0) and nd is nd_USED — callers must mask
+    count-0 rows exactly as they do for the streaming prefix.
+    """
+    if pallas == "off":
+        return compact(store, clamped=True)
+    *keys, cnt = store
+    s = jax.lax.sort(tuple(keys) + (cnt,), num_keys=len(keys))
+    s = _B(s)
+    out, ndv = _pallas_finish(s, store[0].shape[0], False, 0,
+                              pallas == "interpret", full_sum=True)
+    return out, ndv[1]
+
+
 # ---------------------------------------------------------------------------
 # Jitted entry points
 # ---------------------------------------------------------------------------
@@ -807,12 +828,14 @@ def superstep_plain(packed, sep, prefix, wstart=0, srow=0, *,
 
 
 def _pallas_finish(sorted_cols, cap: int, embedded: bool, ebits: int,
-                   interpret: bool):
+                   interpret: bool, full_sum: bool = False):
     """Post-sort half of the superstep on the Pallas compact kernel:
     pad to block granularity with trailing sentinel rows (the kernel
     requires N % (block_rows*128) == 0 and at least one trailing
     sentinel so the lagged last row is decided), run the kernel, and
-    slice back to the prefix capacity."""
+    slice back to the prefix capacity.  ``full_sum`` selects the true
+    clamped segmented-sum (unbounded rows per segment — the finalize
+    expansion's contract; see pallas_compact.segsum_rows)."""
     from . import pallas_compact as _pc
 
     ncols = len(sorted_cols)
@@ -828,7 +851,8 @@ def _pallas_finish(sorted_cols, cap: int, embedded: bool, ebits: int,
             fill = jnp.full((npad,), SENTINEL, jnp.uint32)
         padded.append(jnp.concatenate([c, fill]))
     okeys, ocnt, nd, ndu = _pc.segsum_compact(
-        tuple(padded), embedded=embedded, ebits=ebits, interpret=interpret)
+        tuple(padded), embedded=embedded, ebits=ebits, interpret=interpret,
+        full_sum=full_sum)
     # The kernel writes whole blocks (compacted rows + sentinel fill),
     # but rows beyond the final cursor's block are NEVER written —
     # uninitialized device memory.  Sentinel-mask everything at or
