@@ -100,14 +100,14 @@ def validate(args) -> str:
     if args.devices > 1 and args.use_bfilter:
         return "-b/--use-bfilter does not support --devices yet"
     if args.pipeline == "auto":
-        # skm when eligible: k >= 16, sort backend, no Bloom prefilter
-        args.pipeline = "skm" if (args.KLEN >= 16 and not args.use_bfilter
+        # skm when eligible: k >= 16, sort backend
+        args.pipeline = "skm" if (args.KLEN >= 16
                                   and args.backend == "sort") else "classic"
     if args.pipeline == "skm":
         if args.KLEN < 16:
             return "--pipeline skm requires KLEN >= 16"
-        if args.use_bfilter or args.backend != "sort":
-            return "--pipeline skm supports only the sort backend (no -b)"
+        if args.backend != "sort":
+            return "--pipeline skm supports only the sort backend"
     if not os.path.isfile(args.INPUT):
         return f"input file {args.INPUT} does not exist"
     return ""
@@ -186,28 +186,46 @@ def main(argv=None) -> int:
         )
         counter = bloom_count_file(cfg, args.INPUT, prefetch=max(1, args.threads - 2))
     elif args.use_bfilter:
-        # sort backend: literal two-pass Bloom mechanism (pass 1 fills
-        # BF1/BF2, store sized from new_in_second, squeeze, pass 2
-        # counts only BF2 hits — reference main.cpp:395-510) riding the
-        # flagship streaming pipeline; filtered windows never enter the
-        # merge, cutting merge mass on high-duplication inputs.
-        from .models.bloom_counter import bloom_sort_count_file
-        from .models.sort_counter import SortCounterConfig
-
+        # sort/skm backends: literal two-pass Bloom mechanism (pass 1
+        # fills BF1/BF2, squeeze, pass 2 admits only BF2 hits —
+        # reference main.cpp:395-510).  Classic pipeline filters windows
+        # before the merge; the skm pipeline streams runs unfiltered and
+        # applies the BF2 gate at finalize expansion, where windows
+        # materialize (a run row packs up to LMAX windows).
         est = max(os.path.getsize(args.INPUT), 1)
         blog2 = max(12, min(24, (est - 1).bit_length()))
-        cfg = SortCounterConfig(
-            k=args.KLEN,
-            mode=args.hash_table_type,
-            min_abundance=args.min_k_abu,
-            batch_windows=1 << blog2,
-            rows=1 << (blog2 // 2),
-            prefix_cap=1 << max(12, min(22, blog2)),
-            compactor=args.compactor,
-        )
-        counter = bloom_sort_count_file(
-            cfg, args.unq_kmers, args.bfilter_fpr, args.INPUT,
-            prefetch=max(1, args.threads - 2))
+        if args.pipeline == "skm":
+            from .models.bloom_counter import bloom_skm_count_file
+            from .models.skm_counter import SkmCounterConfig
+
+            cfg = SkmCounterConfig(
+                k=args.KLEN,
+                mode=args.hash_table_type,
+                min_abundance=args.min_k_abu,
+                batch_windows=1 << blog2,
+                rows=1 << (blog2 // 2),
+                prefix_cap=1 << max(12, min(22, blog2)),
+                compactor=args.compactor,
+            )
+            counter = bloom_skm_count_file(
+                cfg, args.unq_kmers, args.bfilter_fpr, args.INPUT,
+                prefetch=max(1, args.threads - 2))
+        else:
+            from .models.bloom_counter import bloom_sort_count_file
+            from .models.sort_counter import SortCounterConfig
+
+            cfg = SortCounterConfig(
+                k=args.KLEN,
+                mode=args.hash_table_type,
+                min_abundance=args.min_k_abu,
+                batch_windows=1 << blog2,
+                rows=1 << (blog2 // 2),
+                prefix_cap=1 << max(12, min(22, blog2)),
+                compactor=args.compactor,
+            )
+            counter = bloom_sort_count_file(
+                cfg, args.unq_kmers, args.bfilter_fpr, args.INPUT,
+                prefetch=max(1, args.threads - 2))
     elif args.devices > 1:
         from .parallel.sharded import make_mesh
         from .parallel.sharded_sort import ShardedSortConfig, ShardedSortCounter

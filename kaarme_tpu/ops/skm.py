@@ -489,10 +489,16 @@ def _expand_keys(cw, ell, k: int):
     return tuple(_B(tuple(out)))
 
 
-@partial(jax.jit, static_argnames=("k",))
-def expand_chunk(run_cols, *, k: int):
+@partial(jax.jit, static_argnames=("k", "hfn"))
+def expand_chunk(run_cols, bloom=None, *, k: int, hfn: int = 0):
     """One finalize chunk: (Wc content cols, meta-key col, count col)
-    -> (W key cols + int32 count col) over R * LMAX rows, unsorted."""
+    -> (W key cols + int32 count col) over R * LMAX rows, unsorted.
+
+    ``bloom``: optional BF2 word array — expanded k-mers whose root
+    hash misses the filter are sentinel-masked here (the skm
+    composition of the reference's pass-2 gate, parallel_parser.hpp:
+    2436-2454: runs pack multiple windows so the per-window filter can
+    only apply at expansion)."""
     *cw, metakey, cnt = run_cols
     ell = ((metakey >> jnp.uint32(EBITS)) & jnp.uint32(15)).astype(jnp.int32) + 1
     keys = _expand_keys(list(cw), ell, k)
@@ -501,6 +507,9 @@ def expand_chunk(run_cols, *, k: int):
     dmask = jnp.uint32(0) - (1 - alive).astype(jnp.uint32)
     keys = tuple((x.reshape(ell.shape[0], LMAX) | dmask[:, None]).reshape(-1)
                  for x in keys)
+    if bloom is not None:
+        miss = sortcount._bloom_miss_mask(bloom, keys, hfn)
+        keys = tuple(x | miss for x in keys)
     counts = jnp.broadcast_to(cnt[:, None],
                               (cnt.shape[0], LMAX)).reshape(-1)
     # zero counts on sentinel slots so compaction's alive test holds
@@ -509,8 +518,9 @@ def expand_chunk(run_cols, *, k: int):
     return keys + (counts,)
 
 
-@partial(jax.jit, static_argnames=("k", "pallas"))
-def _expand_compact(run_cols, *, k: int, pallas: str = "off"):
+@partial(jax.jit, static_argnames=("k", "pallas", "hfn"))
+def _expand_compact(run_cols, bloom=None, *, k: int, pallas: str = "off",
+                    hfn: int = 0):
     """Single-shot finalize: expand every run row and segment-reduce.
     The general compact: window counts sum MULTIPLE non-unit run
     counts, so the embedded single-non-unit trick does not apply at
@@ -518,18 +528,19 @@ def _expand_compact(run_cols, *, k: int, pallas: str = "off"):
     full_sum kernel) stays exact for unbounded rows per segment: one
     row per distinct run containing a k-mer means a low-complexity
     k-mer can exceed 2^32 true mass (ADVICE r3)."""
-    return sortcount.compact_clamped(expand_chunk(run_cols, k=k), pallas)
+    return sortcount.compact_clamped(
+        expand_chunk(run_cols, bloom, k=k, hfn=hfn), pallas)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "pallas"))
-def _expand_merge_at(acc, run_cols, start, *, k: int, chunk: int,
-                     pallas: str = "off"):
+@partial(jax.jit, static_argnames=("k", "chunk", "pallas", "hfn"))
+def _expand_merge_at(acc, run_cols, start, bloom=None, *, k: int,
+                     chunk: int, pallas: str = "off", hfn: int = 0):
     """Chunked finalize step: expand ``chunk`` run rows at a traced
     offset of the DEVICE-resident store and merge into acc (one compile
     per (cap, chunk) — the offset is dynamic)."""
     part = tuple(jax.lax.dynamic_slice(c, (start,), (chunk,))
                  for c in run_cols)
-    rows = expand_chunk(part, k=k)
+    rows = expand_chunk(part, bloom, k=k, hfn=hfn)
     cap = acc[0].shape[0]
     cols = tuple(jnp.concatenate([a, r]) for a, r in zip(acc, rows))
     store, nd = sortcount.compact_clamped(cols, pallas)
@@ -551,7 +562,7 @@ def _resolve_finalize_pallas(run_cols, pallas: str) -> str:
 
 def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
                    single_shot_rows: "int | None" = None,
-                   pallas: str = "auto"):
+                   pallas: str = "auto", bloom=None, hfn: int = 0):
     """DEVICE-side finalize: expand the distinct run store (device or
     NumPy columns: Wc content + meta-key + count) and segment-reduce
     into a sorted k-mer store ON DEVICE.  Returns (store columns —
@@ -589,7 +600,8 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
     pmode = _resolve_finalize_pallas(run_cols, pallas)
 
     if R * LMAX <= single_shot_rows:
-        store, nd_h = _expand_compact(run_cols, k=k, pallas=pmode)
+        store, nd_h = _expand_compact(run_cols, bloom, k=k, pallas=pmode,
+                                      hfn=hfn)
         return store, int(nd_h)
 
     # chunked path: pad the store to chunk granularity with sentinel
@@ -606,9 +618,9 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
     nd = 0
     for s0 in range(0, R, chunk_rows):
         while True:
-            new_acc, nd_h = _expand_merge_at(acc, run_cols, s0,
+            new_acc, nd_h = _expand_merge_at(acc, run_cols, s0, bloom,
                                              k=k, chunk=chunk_rows,
-                                             pallas=pmode)
+                                             pallas=pmode, hfn=hfn)
             nd = int(nd_h)
             if nd <= acc[0].shape[0]:
                 acc = new_acc

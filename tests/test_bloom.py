@@ -183,3 +183,49 @@ def test_set_bits_converges_under_contention():
     bf = bloom_ops.set_bits(bf, r1, r2, 7, jnp.ones((n,), bool))
     ok = np.asarray(bloom_ops.contains(bf, r1, r2, 7))
     assert ok.all()
+
+
+def _skm_cfg(k, **kw):
+    from kaarme_tpu.models.skm_counter import SkmCounterConfig
+    kw.setdefault("batch_windows", 1 << 14)
+    kw.setdefault("rows", 1 << 9)
+    kw.setdefault("superbatch_batches", 2)
+    kw.setdefault("prefix_cap", 1 << 14)
+    kw.setdefault("min_abundance", 2)
+    kw.setdefault("segpack", "dense_interpret")
+    kw.setdefault("compactor", "interpret")
+    return SkmCounterConfig(k=k, **kw)
+
+
+def test_bloom_skm_drops_singletons_exactly():
+    """--pipeline skm -b (VERDICT r4 missing 4): the BF2 gate applied
+    at finalize expansion yields exactly the count>=2 set — no false
+    negatives, singletons absent (BF false positives are dropped by
+    the min-abundance threshold)."""
+    from kaarme_tpu.models.bloom_counter import bloom_skm_count_codes
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 60000).astype(np.uint8)
+    codes[rng.random(60000) < 0.01] = 4
+    codes = np.concatenate([codes, codes[:20000]])   # duplication pressure
+    k = 19
+    c = bloom_skm_count_codes(_skm_cfg(k), 8000, 0.01, codes)
+    golden2 = {km: n for km, n in codec.golden_count(codes, k).items()
+               if n >= 2}
+    assert c.as_dict() == golden2
+    assert c.stats["new_in_second"] >= len(golden2)
+
+
+def test_bloom_skm_matches_bloom_sort():
+    """skm -b and classic -b agree on the filtered output."""
+    from kaarme_tpu.models.bloom_counter import (
+        bloom_skm_count_codes, bloom_sort_count_codes)
+
+    rng = np.random.default_rng(22)
+    codes = rng.integers(0, 4, 40000).astype(np.uint8)
+    codes = np.concatenate([codes, codes[10000:24000]])
+    k = 21
+    a = bloom_skm_count_codes(_skm_cfg(k), 6000, 0.01, codes).as_dict()
+    b = bloom_sort_count_codes(_sort_cfg(
+        k, batch_windows=1 << 12, rows=1 << 6), 6000, 0.01, codes).as_dict()
+    assert a == b
