@@ -120,18 +120,31 @@ def main():
     t_disp, _ = timed(tiny, x, reps=5)
     out["dispatch_fixed_ms"] = round(t_disp * 1e3, 2)
 
-    # live-row census helper (occupancy of the slotted rows)
-    @jax.jit
-    def live_rows(meta_col):
-        return jnp.sum(1 - sortcount._is_sentinel_i32([meta_col]))
-
-    cap = sortcount.next_store_size(1 << args.prefix_log2)
-    prefix = sortcount.make_store(cap, skm.store_words(k))
+    prefix = sortcount.make_store(
+        sortcount.next_store_size(1 << args.prefix_log2),
+        skm.store_words(k))
     drain(prefix)
+
+    # sub-phase: the XLA unpack inside the segpack dispatch
+    need0 = n + k - 1
+    p0 = jax.device_put(jnp.asarray(steps[0][0]))
+    s0 = jax.device_put(jnp.asarray(steps[0][1]))
+    drain((p0, s0))
+
+    @jax.jit
+    def unpack_only(p, s):
+        return sortcount.unpack_codes_sparse(p, s, need0)
+
+    drain(unpack_only(p0, s0))
+    tu, _ = timed(unpack_only, p0, s0)
+    out["unpack_ms"] = round(tu * 1e3, 1)
 
     per_step = []
     t_transfer = t_segpack = t_merge = 0.0
     slotted_last = None
+    cap = sortcount.next_store_size(max(n // 8, 1 << 12))
+    out["dense_cap"] = cap
+    rows_hw = 0
     for i, (packed_h, sep_h) in enumerate(steps):
         t0 = time.perf_counter()
         packed_d = jax.device_put(jnp.asarray(packed_h))
@@ -139,17 +152,21 @@ def main():
         drain((packed_d, sep_d))
         tt = time.perf_counter() - t0
 
-        seg = lambda p, s: skm.skm_segpack_step(
-            p, s, 0, 0, k=k, n=n, S=S, dense=False)
-        ts, (slotted, maxruns) = timed(seg, packed_d, sep_d)
-        live = int(live_rows(slotted[-1]))
+        seg = lambda p, s: skm.skm_segpack_dense_step(
+            p, s, 0, 0, k=k, n=n, cap=cap, dense=False)
+        ts, (slotted, rowsv) = timed(seg, packed_d, sep_d)
+        eff = cap if not rows_hw else min(cap, sortcount.next_store_size(
+            rows_hw + max(rows_hw // 4, 1 << 12)))
 
-        mrg = lambda sl, mx, pf: skm.skm_merge_step(sl, mx, pf, pallas="on")
-        tm, (new_prefix, ndv) = timed(mrg, slotted, maxruns, prefix)
+        mrg = lambda sl, rw, pf: skm.skm_merge_dense_step(
+            sl, rw, pf, eff=eff, pallas="on")
+        tm, (new_prefix, ndv) = timed(mrg, slotted, rowsv, prefix)
         # accept the timed run's output as the real state transition
         prefix = new_prefix
-        nd_exact, nd_used, mx = (int(v) for v in np.asarray(ndv))
-        slotted_last = (slotted, maxruns)
+        nd_exact, nd_used, r_exact, r_used = (
+            int(v) for v in np.asarray(ndv))
+        rows_hw = max(rows_hw, r_exact)
+        slotted_last = (slotted, rowsv)
 
         t_transfer += tt
         t_segpack += ts
@@ -158,19 +175,20 @@ def main():
             "transfer_ms": round(tt * 1e3, 1),
             "segpack_ms": round(ts * 1e3, 1),
             "merge_ms": round(tm * 1e3, 1),
-            "slotted_rows": int(slotted[0].shape[0]),
-            "live_rows": live,
-            "live_frac": round(live / slotted[0].shape[0], 4),
-            "nd_runs": nd_exact, "nd_used": nd_used, "max_tile_runs": mx,
+            "merge_eff_rows": eff,
+            "live_rows": r_exact,
+            "live_frac_of_cap": round(r_exact / cap, 4),
+            "nd_runs": nd_exact, "nd_used": nd_used,
         })
         print(f"# step {i}: transfer {tt*1e3:.0f}ms segpack {ts*1e3:.0f}ms "
-              f"merge {tm*1e3:.0f}ms live {live}/{slotted[0].shape[0]} "
-              f"({live/slotted[0].shape[0]:.1%}) runs={nd_exact} "
-              f"maxtile={mx}", file=sys.stderr, flush=True)
+              f"merge {tm*1e3:.0f}ms live {r_exact}/{cap} eff {eff} "
+              f"runs={nd_exact}", file=sys.stderr, flush=True)
     out["per_step"] = per_step
 
     # sub-phase: the merge's sort alone at the last superstep's shapes
-    slotted, maxruns = slotted_last
+    slotted, _rowsv = slotted_last
+    eff = per_step[-1]["merge_eff_rows"]
+    slotted = tuple(c[:eff] for c in slotted)
     w = skm.store_words(k)
     merge_cols = [jnp.concatenate([prefix[i2], slotted[i2]])
                   for i2 in range(w - 1)]
@@ -209,6 +227,11 @@ def main():
     n_prof = n_steps * n
     wall = t_transfer + t_segpack + t_merge + t_fin \
         + 2 * n_steps * t_disp
+    out["kernel_attribution_note"] = (
+        "probe (scripts/probe_overlap_r05.py session): segmentation "
+        "front half 26 ms, log-shift dense pack ~129 ms, staging+DMA "
+        "~21 ms per 2^25-position superstep; the pack is the kernel's "
+        "dominant cost")
     out["rollup"] = {
         "transfer_s": round(t_transfer, 3),
         "segpack_s": round(t_segpack, 3),
