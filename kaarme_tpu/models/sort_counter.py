@@ -318,7 +318,10 @@ class SortKmerCounter:
             return cap
         delta = self._delta_max if self._delta_max is not None else n
         target = self.n_used + (self._max_inflight + 1) * max(delta, n // 16)
-        eff = min(self._step_up(target), cap)
+        # coarse ladder: above 2^22 every slicing step is a fresh merge
+        # compile (minutes through the remote compiler) — on growing
+        # stores the fine steps cost more than the sort mass they save
+        eff = min(sortcount.next_store_size(target, coarse=True), cap)
         if self._inflight:
             # unverified in-flight outputs may hold up to the current
             # allocated length of live rows — never slice below it

@@ -553,12 +553,20 @@ def resolve_winkeys(mode: str) -> str:
     return "legacy" if mode == "auto" else mode
 
 
-def next_store_size(x: int) -> int:
+def next_store_size(x: int, coarse: bool = False) -> int:
     """Smallest {2^m, 3*2^m} (m >= 12) value >= x — the distinct-store
     size ladder (bounded jit variants; every value is a multiple of
-    128, as the Pallas merge/compact kernels require)."""
+    128, as the Pallas merge/compact kernels require).
+
+    ``coarse``: powers of two ONLY above 2^22 — used by the live-prefix
+    slicing ladder on growing stores, where every ladder value is a
+    fresh merge-program compile (minutes each through the remote
+    compiler; measured on the 1 GB endurance run, the fine ladder's
+    extra variants cost far more than the ~20% sort mass they save)."""
     x = max(int(x), 1 << 12)
     p = 1 << (x - 1).bit_length()
+    if coarse and x > (1 << 22):
+        return p
     return 3 * p // 4 if 3 * p // 4 >= x else p
 
 

@@ -259,8 +259,9 @@ class ShardedSkmCounter(ShardedSortCounter):
                     break
                 # SPMD-uniform accumulator growth (replicated pmax);
                 # nd_max is the exact required size — grow straight to
-                # it so each chunk retries at most once (ADVICE r4)
-                new_cap = sortcount.next_store_size(nd_max)
+                # it so each chunk retries at most once (ADVICE r4);
+                # coarse ladder: each capacity is a fresh compile
+                new_cap = sortcount.next_store_size(nd_max, coarse=True)
                 acc = tuple(
                     jnp.concatenate(
                         [a, jnp.broadcast_to(
