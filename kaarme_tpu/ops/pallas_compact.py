@@ -74,6 +74,15 @@ def block_elems(block_rows: int = _BLOCK_ROWS) -> int:
     return block_rows * _LANES
 
 
+def block_rows_for(ncols: int) -> int:
+    """Block size scaled to the column count: at P = pow2(ncols) > 8
+    interleave planes (k > ~120), 256-row blocks overflow the 16 MB
+    scoped-VMEM budget (measured: k=201 classic superstep OOMed at
+    16.69M).  Halve the block so the double-buffered inputs + the
+    interleave stay comfortably inside."""
+    return _BLOCK_ROWS if _pow2(ncols) <= 8 else _BLOCK_ROWS // 2
+
+
 def _flat_pos(S):
     sub = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
@@ -459,7 +468,7 @@ def _compact_kernel(W: int, S: int, embedded: bool, ebits: int,
 @partial(jax.jit, static_argnames=("embedded", "ebits", "block_rows",
                                    "interpret", "dense", "full_sum"))
 def segsum_compact(cols, *, embedded: bool, ebits: int,
-                   block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+                   block_rows: "int | None" = None, interpret: bool = False,
                    dense: bool = False, full_sum: bool = False):
     """Fused segment-sum + compaction over sorted store columns.
 
@@ -479,6 +488,8 @@ def segsum_compact(cols, *, embedded: bool, ebits: int,
     """
     W = len(cols) - (0 if embedded else 1)
     N = cols[0].shape[0]
+    if block_rows is None:
+        block_rows = block_rows_for(W + 1)
     S = block_rows
     if N % (S * _LANES):
         raise ValueError(f"N={N} not a multiple of {S * _LANES}")

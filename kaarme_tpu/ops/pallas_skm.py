@@ -478,10 +478,16 @@ def _skm_dense_kernel(k: int, S_rows: int, Wc: int, cap_rows: int):
 
 def pick_block_rows_dense(n: int, k: int) -> "int | None":
     """Largest supported dense-kernel block size (divides n, covers the
-    lookahead) — no slot-budget alignment constraint."""
+    lookahead) — no slot-budget alignment constraint.  Wide rows
+    (P = pow2(Wc+1) > 8 interleave planes, k > ~110) cap at 128 rows so
+    the staging buffer + double-buffered inputs stay inside the 16 MB
+    scoped-VMEM budget (same constraint as pallas_compact)."""
     Wc = (LMAX + k - 1 + 15) // 16
     lookahead = max(k + M * (Wc - 1) + LMAX + 2, k + 17)
+    top = 256 if _pow2(Wc + 1) <= 8 else 128
     for br in (256, 128, 64, 32, 16, 8, 4):
+        if br > top:
+            continue
         if n % (br * _LANES) == 0 and lookahead <= br * _LANES:
             return br
     return None

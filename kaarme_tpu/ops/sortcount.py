@@ -849,7 +849,7 @@ def _pallas_finish(sorted_cols, cap: int, embedded: bool, ebits: int,
     ncols = len(sorted_cols)
     w = ncols if embedded else ncols - 1
     n0 = sorted_cols[0].shape[0]
-    block = _pc.block_elems()
+    block = _pc.block_elems(_pc.block_rows_for(w + 1))
     npad = block * (n0 // block + 1) - n0
     padded = []
     for i, c in enumerate(sorted_cols):

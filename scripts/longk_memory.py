@@ -5,9 +5,13 @@ run store vs the reference's ~17 B/kmer (kmer.hpp:103-149 slot word +
 secondary array at 0.5 load; DESIGN.md section 7b).
 
     python scripts/longk_memory.py [--genome-mb 1.0 --coverage 8]
+
+Round 5: writes LONGK_r05.json (VERDICT r4 missing 3 / next-round 4).
 """
 
 import argparse
+import json
+import os
 import time
 
 import numpy as np
@@ -26,7 +30,15 @@ def main():
                     help="also diff against the NumPy golden oracle "
                          "(slow at scale; always done at --genome-mb "
                          "<= 0.3)")
+    ap.add_argument("--out", default="LONGK_r05.json")
+    ap.add_argument("--segpack", default="auto",
+                    help="skm segpack route (auto/dense/xla — xla "
+                         "avoids the very-long-k kernel compile)")
     args = ap.parse_args()
+
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
 
     import jax
 
@@ -64,7 +76,8 @@ def main():
               f"distinct={nd} store={classic_bpd} B/kmer", flush=True)
 
         t0 = time.perf_counter()
-        c2 = SkmCounter(SkmCounterConfig(k=k, **common))
+        c2 = SkmCounter(SkmCounterConfig(k=k, segpack=args.segpack,
+                                         **common))
         c2.count_codes(codes)
         store, nd2 = c2.finalize_device()
         for col in store:
@@ -82,12 +95,32 @@ def main():
               and np.array_equal(cn1, cn2))
         print(f"k={k} classic == skm: {eq}", flush=True)
         assert eq
+        row = {
+            "device": str(jax.devices()[0]),
+            "workload": f"{args.genome_mb}MB x{args.coverage} "
+                        f"rl{args.read_len}",
+            "windows": nwin,
+            "distinct_kmers": int(nd),
+            "distinct_runs": int(runs),
+            "classic_seconds": round(t1, 2),
+            "classic_kmers_per_s": round(nwin / t1),
+            "classic_store_B_per_kmer": classic_bpd,
+            "skm_seconds": round(t2, 2),
+            "skm_kmers_per_s": round(nwin / t2),
+            "run_store_B_per_kmer": round(run_bpd, 1),
+            "reference_B_per_kmer": "~17 (kmer.hpp:103-149 slot + "
+                                    "secondary at 0.5 load)",
+            "classic_equals_skm": bool(eq),
+        }
         if do_golden:
             golden = codec.golden_count(codes, k)
             got = c1.as_dict()
+            row["golden_equal"] = bool(got == golden)
             print(f"k={k} golden equality: {got == golden} "
                   f"({len(golden)} distinct)", flush=True)
             assert got == golden
+        results[f"k{k}"] = row
+        json.dump(results, open(args.out, "w"), indent=1)
 
 
 if __name__ == "__main__":
