@@ -613,11 +613,10 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
                              if i == len(run_cols) - 1 else
                              jnp.full((pad,), SENTINEL, c.dtype)])
             for i, c in enumerate(run_cols))
-    n_chunks = -(-R // chunk_rows)
     cap = sortcount.next_store_size(4 * chunk_rows, coarse=True)
     acc = sortcount.make_store(cap, W)
     nd = 0
-    for ci, s0 in enumerate(range(0, R, chunk_rows)):
+    for s0 in range(0, R, chunk_rows):
         while True:
             new_acc, nd_h = _expand_merge_at(acc, run_cols, s0, bloom,
                                              k=k, chunk=chunk_rows,
@@ -626,15 +625,14 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
             if nd <= acc[0].shape[0]:
                 acc = new_acc
                 break
-            # grow to the PROJECTED final size, not just this chunk's
-            # need: every accumulator capacity is a fresh compile
-            # (minutes through the remote compiler), and distinct mass
-            # accrues roughly linearly in chunks — measured on the 1 GB
-            # endurance run, per-chunk growth recompiles dominated the
-            # whole finalize (ADVICE r4 + round-5 rework)
-            proj = int(nd * n_chunks / (ci + 1) * 1.15)
-            cap = sortcount.next_store_size(max(nd, min(proj, R * LMAX)),
-                                            coarse=True)
+            # double on the coarse ladder: every accumulator capacity
+            # is a fresh compile (minutes through the remote compiler),
+            # so growth must be geometric — but NOT projected from
+            # nd_used (an overflowed chunk's nd_used is input-mass
+            # bounded, and a linear projection of it ballooned the 1 GB
+            # endurance accumulator to 2^28 rows -> HBM OOM)
+            cap = sortcount.next_store_size(
+                max(nd, 2 * acc[0].shape[0]), coarse=True)
             acc = tuple(
                 jnp.concatenate(
                     [c, sortcount.dead_fill((cap - c.shape[0],), c.dtype)])
