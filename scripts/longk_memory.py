@@ -119,7 +119,7 @@ def main():
             print(f"k={k} golden equality: {got == golden} "
                   f"({len(golden)} distinct)", flush=True)
             assert got == golden
-        results[f"k{k}"] = row
+        results[f"k{k}_{args.genome_mb}MB"] = row
         json.dump(results, open(args.out, "w"), indent=1)
 
 

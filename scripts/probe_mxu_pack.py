@@ -151,3 +151,84 @@ vd = jnp.asarray(np.random.rand(256, 128).astype(np.float32))
 probe("D block transpose (256,128)->(128,256) slice", run_d, sd, vd)
 
 print("spike done", flush=True)
+
+
+# --- round 2: the layout pivots the full pack assembly needs ---
+
+def kern_e(x_ref, o_ref):
+    o_ref[...] = x_ref[...].reshape(1, 512)
+
+
+@jax.jit
+def run_e(x):
+    return pl.pallas_call(
+        kern_e, out_shape=jax.ShapeDtypeStruct((1, 512), jnp.float32))(x)
+
+
+xe = jnp.asarray(np.random.rand(4, 128).astype(np.float32))
+out = probe("E reshape (4,128)->(1,512)", run_e, xe)
+if out is not None:
+    ok = np.allclose(np.asarray(out).ravel(), np.asarray(xe).ravel())
+    print(f"  E row-major match: {ok}", flush=True)
+
+
+def kern_f(x_ref, o_ref):
+    o_ref[...] = x_ref[...].reshape(512, 1)
+
+
+@jax.jit
+def run_f(x):
+    return pl.pallas_call(
+        kern_f, out_shape=jax.ShapeDtypeStruct((512, 1), jnp.float32))(x)
+
+
+out = probe("F reshape (4,128)->(512,1)", run_f, xe)
+if out is not None:
+    ok = np.allclose(np.asarray(out).ravel(), np.asarray(xe).ravel())
+    print(f"  F row-major match: {ok}", flush=True)
+
+
+def kern_g(a_ref, b_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        a_ref[...], b_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),   # A @ B^T
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def run_g(a, b):
+    return pl.pallas_call(
+        kern_g, out_shape=jax.ShapeDtypeStruct((32, 16), jnp.float32))(a, b)
+
+
+ga = jnp.asarray(np.random.rand(32, 128).astype(np.float32))
+gb = jnp.asarray(np.random.rand(16, 128).astype(np.float32))
+out = probe("G dot A@B^T (32,128)x(16,128)", run_g, ga, gb)
+if out is not None:
+    ok = np.allclose(np.asarray(out),
+                     np.asarray(ga) @ np.asarray(gb).T, rtol=1e-5)
+    print(f"  G correct: {ok}", flush=True)
+
+
+def kern_h(a_ref, b_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        a_ref[...], b_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),   # A^T @ B
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def run_h(a, b):
+    return pl.pallas_call(
+        kern_h, out_shape=jax.ShapeDtypeStruct((64, 16), jnp.float32))(a, b)
+
+
+ha = jnp.asarray(np.random.rand(512, 64).astype(np.float32))
+hb = jnp.asarray(np.random.rand(512, 16).astype(np.float32))
+out = probe("H dot A^T@B (512,64)^T x (512,16)", run_h, ha, hb)
+if out is not None:
+    ok = np.allclose(np.asarray(out),
+                     np.asarray(ha).T @ np.asarray(hb), rtol=1e-4)
+    print(f"  H correct: {ok}", flush=True)
