@@ -168,8 +168,13 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch-log2", type=int, default=23)
     ap.add_argument("--rows-log2", type=int, default=12)
-    ap.add_argument("--superbatch", type=int, default=4,
-                    help="device batches fused per superstep dispatch")
+    ap.add_argument("--superbatch", type=int, default=None,
+                    help="device batches fused per superstep dispatch "
+                         "(default: 16 for skm — 2^27-window supersteps "
+                         "amortize the prefix re-sort, measured 2.5x "
+                         "device throughput; 4 for classic, whose merge "
+                         "sorts the full window mass and would blow HBM "
+                         "at 2^27)")
     ap.add_argument("--merge-every", type=int, default=2)
     ap.add_argument("--prefix-log2", type=int, default=23,
                     help="initial distinct-store capacity (log2); 2^23 matches "
@@ -192,7 +197,11 @@ def main():
     ap.add_argument("--no-crosscheck", action="store_true",
                     help="skip the classic-pipeline distinct-equality "
                          "cross-check run")
-    ap.add_argument("--transfer-group", type=int, default=4)
+    ap.add_argument("--transfer-group", type=int, default=None,
+                    help="superbatches per host->device copy (default: "
+                         "1 for skm at the big supersteps — each 33 MB "
+                         "copy is issued ahead of the compute it "
+                         "overlaps; 4 for classic)")
     ap.add_argument("--compactor", default="auto",
                     help="superstep variant (auto/pallas/xla/merge/...)")
     ap.add_argument("--winkeys", default="auto",
@@ -223,6 +232,10 @@ def main():
         return run_verify(args)
 
     k = args.k
+    if args.superbatch is None:
+        args.superbatch = 16 if args.pipeline == "skm" else 4
+    if args.transfer_group is None:
+        args.transfer_group = 1 if args.pipeline == "skm" else 4
     coverage = args.coverage * args.scale
     codes = make_reads(args.genome_mb, coverage, args.read_len)
     n_windows = int((codes.shape[0] // (args.read_len + 1))
@@ -294,8 +307,13 @@ def main():
     # pipeline's (golden equality at bench scale — VERDICT r4 missing 5)
     crosscheck = None
     if args.pipeline == "skm" and not args.no_crosscheck:
+        # classic-safe superstep sizing: its merge sorts the FULL
+        # window mass, so the skm-tuned 2^27 supersteps would blow HBM
+        classic_common = dict(common, superbatch_batches=4,
+                              transfer_group=4)
         c2 = SortKmerCounter(SortCounterConfig(
-            compactor=args.compactor, winkeys=args.winkeys, **common))
+            compactor=args.compactor, winkeys=args.winkeys,
+            **classic_common))
         c2.count_codes(codes)
         drain(c2.prefix)
         crosscheck = bool(c2.n_distinct == distinct)

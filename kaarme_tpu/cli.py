@@ -277,6 +277,19 @@ def main(argv=None) -> int:
             prefix_cap=1 << max(12, min(22, blog2)),
             compactor=args.compactor,
         )
+        if blog2 >= 24 and jax.default_backend() != "cpu":
+            # large inputs on an accelerator: 2^27-window supersteps
+            # amortize the per-superstep prefix re-sort and dispatch
+            # overhead (measured 2.5x device throughput at the bench
+            # workload, BENCHMATRIX_r05), and one-superstep transfer
+            # groups keep each copy small enough to ride ahead of the
+            # compute it overlaps (models/sort_counter.py pipeline note)
+            # (classic keeps superbatch 4: its merge sorts the FULL
+            # window mass, and 2^27-window sorts push peak HBM past
+            # the chip; the skm merge sorts ~n/14 run rows)
+            kw.update(transfer_group=1)
+            if args.pipeline == "skm":
+                kw.update(superbatch_batches=16)
         if args.pipeline == "skm":
             from .models.skm_counter import SkmCounter, SkmCounterConfig
 

@@ -193,13 +193,15 @@ class SortKmerCounter:
     # -- device steps ------------------------------------------------------
 
     # Pipeline ordering (measured, scripts/profile_superstep.py + the
-    # overlap probe recorded in DESIGN.md): a host->device transfer
-    # issued BEFORE a compute dispatch blocks that dispatch until the
-    # copy lands (worst case), while one issued right AFTER overlaps
-    # ~half the copy with the running compute.  So per superbatch:
-    #   worker thread:  pack s+1 (numpy/C++, overlaps everything)
-    #   main thread:    drain s-1 -> dispatch s -> device_put s+1
-    # which keeps every copy strictly behind a dispatch.
+    # round-5 threaded-overlap probe): device_put ISSUES asynchronously
+    # on this backend (~23 ms for a 33 MB buffer; the copy completes
+    # ~0.7 s later) and a copy issued BEFORE a compute dispatch rides
+    # the link while that compute runs (probe: copy-then-dispatch wall
+    # == max(copy, compute); dispatch-then-copy == their sum).  So per
+    # transfer group:
+    #   worker thread:  pack g+1 (numpy/C++, overlaps everything)
+    #   main thread:    issue device_put g+1 -> drain/dispatch group g
+    # which keeps every copy strictly AHEAD of the compute it overlaps.
 
     def _process_stream(self, stream: np.ndarray, n_windows: int):
         self._prepped.append(
@@ -286,13 +288,16 @@ class SortKmerCounter:
             self._ready = self._take_group(final)
         while self._ready is not None:
             packed_d, sep_d, metas = self._ready
-            self._ready = None
+            # issue the NEXT group's transfer BEFORE dispatching this
+            # group's supersteps: device_put returns early and the copy
+            # overlaps the compute dispatched below (see the pipeline-
+            # ordering note above)
+            self._ready = self._take_group(final)
             for wstart, srow, n, dense, n_windows in metas:
                 self._drain(keep=self._max_inflight)
                 self._dispatch(packed_d, sep_d, n, dense, wstart, srow)
                 self.stats["batches"] += 1
                 self.stats["windows_processed"] += n_windows
-            self._ready = self._take_group(final)
             if not final:
                 break
         self.stats["build_seconds"] += time.perf_counter() - t0
