@@ -83,9 +83,44 @@ class SkmCounter(SortKmerCounter):
         self._final_cache = None
         self._rows_hw = 0          # verified high-water of dense rows_exact
         self._rows_eff_min = 0     # floor for the dense merge eff ladder
+        self._deltas = []          # last verified distinct-growth deltas
         self.stats["slot_grow_events"] = 0
 
     # -- device steps --------------------------------------------------------
+
+    def _eff_for_dispatch(self, n: int) -> int:
+        """Run-store prefix working size for the next merge.
+
+        Overrides the base policy, which sizes from the ALL-TIME
+        maximum verified distinct growth: the first superstep of any
+        job sees mostly-novel content, so its delta (the whole genome's
+        run count) poisons the maximum and pins the prefix at full
+        capacity for the rest of the stream — at the bench that is
+        8.4M sorted prefix rows per merge covering 2.8M live ones.
+        Run growth at steady coverage is set by the RECENT novelty
+        rate, so size from the last few verified deltas on the fine
+        ladder; an underguess is caught by the existing overflow
+        verification and replayed bigger, exactly like every other
+        optimistic size here."""
+        from ..ops import sortcount
+        cap = self.cfg.prefix_cap
+        if cap <= (1 << 12):
+            return cap
+        if self._deltas:
+            recent = max(self._deltas[-3:])
+            target = self.n_used + \
+                (self._max_inflight + 1) * max(recent, n // 256)
+        else:
+            # cold start: expected distinct runs of one superstep
+            # (measured ~n/14 at 30x coverage; a novel-heavy stream
+            # overflows once and replays at the grown size)
+            target = max(n // 32, 1 << 14)
+        eff = min(sortcount.next_store_size(target), cap)
+        if self._inflight:
+            # unverified in-flight outputs may hold up to the current
+            # allocated length of live rows — never slice below it
+            eff = max(eff, self.prefix[0].shape[0])
+        return eff
 
     def _dense_cap(self, n: int) -> int:
         """Dense-kernel output capacity for an n-window step: the
@@ -101,14 +136,20 @@ class SkmCounter(SortKmerCounter):
     def _dense_eff(self, n: int, cap: int) -> int:
         """Merge-mass ladder value for this dispatch: covers the
         verified rows high-water plus headroom (run mass per superstep
-        is near-constant on steady streams — SKMPROFILE_r05.json), and
-        never shrinks below a prior overflow's requirement.  First
-        dispatch (no high-water yet) merges the full capacity."""
+        is near-constant on steady streams — SKMPROFILE_r05.json: the
+        bench spread is ~0.1%, so a 1/16 margin on the fine ladder
+        suffices; every sentinel row past the true mass rides the 6-col
+        merge sort), and never shrinks below a prior overflow's
+        requirement.  First dispatch (no high-water yet) guesses the
+        expected run mass n/12 (measured ~n/14 on 150 bp reads) —
+        an underguess costs one replay, the old merge-the-full-
+        capacity policy cost ~4M sentinel rows of sort every job."""
         from ..ops import sortcount
         if self._rows_hw == 0:
-            return cap
-        want = sortcount.next_store_size(
-            self._rows_hw + max(self._rows_hw // 4, 1 << 12))
+            want = sortcount.next_store_size(max(n // 12, 1 << 12))
+        else:
+            want = sortcount.next_store_size(
+                self._rows_hw + max(self._rows_hw // 16, 1 << 12))
         return min(cap, max(want, self._rows_eff_min))
 
     def _dispatch(self, packed_d, sep_d, n: int, dense: bool,
@@ -212,6 +253,8 @@ class SkmCounter(SortKmerCounter):
                 delta = nd_exact - self.n_distinct
                 if delta > 0:
                     self._delta_max = max(self._delta_max or 0, delta)
+                self._deltas.append(max(delta, 0))
+                del self._deltas[:-8]
                 self.n_distinct = nd_exact
                 self.n_used = nd
                 self.stats["compactions"] += 1

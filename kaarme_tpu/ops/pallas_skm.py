@@ -98,6 +98,26 @@ def _slide_or(x, w: int, S2: int):
     return y
 
 
+def _roll_back_nf(v, d: int, S: int):
+    """_flat_roll_back without the tail fill: y.flat[i] = v.flat[i+d]
+    with WRAPPED garbage in the last d flat positions.  Safe wherever
+    the rolled value is consumed behind a ``take`` mask that is itself
+    rolled with a 0 fill — take is 0 at every garbage position, so the
+    fill pass (one extra vector op per plane per iteration, and HALF
+    the cost of the row-granularity iterations) is dead work in the
+    pack loops."""
+    ml, ms = d % _LANES, d // _LANES
+    y = v
+    if ml:
+        xl = pltpu.roll(y, _LANES - ml, 1)
+        xn = pltpu.roll(xl, S - 1, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, _LANES), 1)
+        y = jnp.where(lane >= _LANES - ml, xn, xl)
+    if ms:
+        y = pltpu.roll(y, S - ms, 0)
+    return y
+
+
 def _halo_rows(S_rows: int, k: int) -> int:
     """Halo rows appended to the compute domain: covers the element
     lookahead (content words + minimizer window + ell probe), rounded
@@ -260,16 +280,16 @@ def _skm_kernel(k: int, S_rows: int, S_slots: int, Wc: int):
         # tiles from 512 to S_slots spacing (uniform per-tile distance,
         # globally nondecreasing).
         def logshift(cur, av, dist, dmax):
+            # value planes and dist roll without tail fill — take's own
+            # 0 fill guards the wrapped garbage (see _roll_back_nf)
             d = 1
             while d < dmax:
                 mv = av * jnp.where((dist & d) != 0, 1, 0)
                 take = _flat_roll_back(mv, d, S_rows, jnp.int32(0))
-                cur = [jnp.where(take == 1,
-                                 _flat_roll_back(c, d, S_rows, SENT), c)
+                cur = [jnp.where(take == 1, _roll_back_nf(c, d, S_rows), c)
                        for c in cur]
                 dist = jnp.where(
-                    take == 1,
-                    _flat_roll_back(dist, d, S_rows, jnp.int32(0)), dist)
+                    take == 1, _roll_back_nf(dist, d, S_rows), dist)
                 av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
                 d *= 2
             return cur, av
@@ -421,19 +441,21 @@ def _skm_dense_kernel(k: int, S_rows: int, Wc: int, cap_rows: int):
         acount = jnp.sum(av)
         cur = [jnp.where(av == 1, c, SENT) for c in cur]
 
-        # ONE monotone log-shift front-pack (dist = dead rows before me)
+        # ONE monotone log-shift front-pack (dist = dead rows before me).
+        # Value planes and dist roll WITHOUT tail fill (_roll_back_nf):
+        # take is rolled with a 0 fill, so wrapped garbage at the tail
+        # is never selected — the fill passes were dead work (~1/3 of
+        # the pack's vector ops at 15 iterations x 7 planes).
         dist = _cumsum_flat_incl(1 - av, S_rows) - (1 - av)
         dist = dist * av
         d = 1
         while d < n_blk:
             mv = av * jnp.where((dist & d) != 0, 1, 0)
             take = _flat_roll_back(mv, d, S_rows, jnp.int32(0))
-            cur = [jnp.where(take == 1,
-                             _flat_roll_back(c, d, S_rows, SENT), c)
+            cur = [jnp.where(take == 1, _roll_back_nf(c, d, S_rows), c)
                    for c in cur]
             dist = jnp.where(
-                take == 1,
-                _flat_roll_back(dist, d, S_rows, jnp.int32(0)), dist)
+                take == 1, _roll_back_nf(dist, d, S_rows), dist)
             av = jnp.where(take == 1, jnp.int32(1), av * (1 - mv))
             d *= 2
 

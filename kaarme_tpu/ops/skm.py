@@ -584,11 +584,13 @@ def finalize_store(run_store, k: int, chunk_rows: int = 1 << 20,
         return sortcount.make_store(0, W), 0
     if single_shot_rows is None:
         # bytes-aware: one expand+compact materializes ~3 sort
-        # generations of (W+1) uint32 columns; budget ~3 GB of HBM for
+        # generations of (W+1) uint32 columns; budget ~6 GB of HBM for
         # it (the single shot is ~3x cheaper than the chunked loop —
         # measured: the bench store at 2.2M runs paid ~1.8s chunked vs
-        # ~0.6s single-shot)
-        single_shot_rows = min(1 << 26, (3 << 30) // ((W + 1) * 12))
+        # ~0.6s single-shot, and the 2^27-superstep driver's n_used
+        # pads past the old 3 GB threshold, silently flipping the
+        # bench finalize chunked: 2.2s vs 0.65s)
+        single_shot_rows = min(1 << 26, (6 << 30) // ((W + 1) * 12))
     # coerce dtypes: NumPy callers easily arrive with int64/int32 key
     # columns (np.stack of keys + an int32 count column promotes), and
     # signed key words silently break the sort order and sentinel masks
